@@ -1,0 +1,227 @@
+"""Batching and input pipeline.
+
+TPU-first differences from the reference's torch DataLoader stack
+(reference utils/data_utils.py):
+
+- Ragged point lists become dense ``(B, P_max, 2)`` arrays plus a
+  ``(B, P_max)`` validity mask, where P_max is a fixed per-config pad so
+  every training step has the same shape (no recompiles). The reference
+  passes Python lists of variable-length tensors into the loss
+  (reference datasets/utils.py:37-38), which cannot be jitted.
+- Per-host sharding: each host enumerates only its slice of the epoch
+  permutation (replaces torch DistributedSampler at reference
+  utils/data_utils.py:47).
+- Prefetching uses a thread pool (PIL decode + numpy transforms release
+  the GIL for the heavy parts).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from . import transforms as T
+from .density import block_sum
+
+
+@dataclass
+class Batch:
+    """One training batch (all fixed-shape numpy arrays).
+
+    images:  (B, H, W, 3) float32, ImageNet-normalized
+    points:  (B, P_max, 2) float32, padded with zeros
+    point_mask: (B, P_max) bool, True where the point is real
+    density: (B, Hr, Wr) float32 block-summed dot map (Hr = H/reduction)
+    """
+
+    images: np.ndarray
+    points: np.ndarray
+    point_mask: np.ndarray
+    density: np.ndarray
+
+    @property
+    def gt_counts(self) -> np.ndarray:
+        return self.point_mask.sum(axis=1).astype(np.float32)
+
+
+def pad_points(
+    point_lists: Sequence[np.ndarray], max_points: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a list of (N_i, 2) arrays to (B, max_points, 2) + mask.
+
+    Points beyond ``max_points`` are dropped deterministically (first
+    max_points kept); crowd crops at train sizes rarely exceed a few
+    thousand, so callers should size the pad from the dataset's max
+    block-count statistics.
+    """
+    batch = len(point_lists)
+    out = np.zeros((batch, max_points, 2), dtype=np.float32)
+    mask = np.zeros((batch, max_points), dtype=bool)
+    for i, pts in enumerate(point_lists):
+        pts = np.asarray(pts, dtype=np.float32).reshape(-1, 2)
+        n = min(len(pts), max_points)
+        out[i, :n] = pts[:n]
+        mask[i, :n] = True
+    return out, mask
+
+
+def make_train_transforms(cfg) -> T.Compose:
+    """Default train augmentation stack (reference utils/data_utils.py:16-24):
+    RandomResizedCrop -> HFlip -> RandomApply[ColorJitter, GaussianBlur,
+    PepperSaltNoise]."""
+    return T.Compose(
+        [
+            T.RandomResizedCrop(
+                (cfg.input_size, cfg.input_size), scale=(cfg.min_scale, cfg.max_scale)
+            ),
+            T.RandomHorizontalFlip(0.5),
+            T.RandomApply(
+                [
+                    T.ColorJitter(cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue),
+                    T.GaussianBlur(cfg.kernel_size),
+                    T.PepperSaltNoise(cfg.saltiness, cfg.spiciness),
+                ],
+                p=[cfg.jitter_prob, cfg.blur_prob, cfg.noise_prob],
+            ),
+        ]
+    )
+
+
+def make_eval_transforms(cfg):
+    """Eval pre-shaping (reference utils/data_utils.py:26-32)."""
+    if not cfg.sliding_window:
+        return None
+    if cfg.resize_to_multiple:
+        return T.Resize2Multiple(cfg.window_size, cfg.stride)
+    if cfg.zero_pad_to_multiple:
+        return T.ZeroPad2Multiple(cfg.window_size, cfg.stride)
+    return None
+
+
+class TrainLoader:
+    """Shuffled, per-host-sharded, prefetching train loader.
+
+    Yields ``Batch`` objects of ``batch_size`` items, each item contributing
+    ``dataset.num_crops`` crops (flattened into the batch dimension, like the
+    reference collate at reference datasets/utils.py:31-63). The density map
+    is pre-pooled to reduction blocks on the host — the loss only ever
+    consumes the block-summed map, so shipping the full-resolution dot map
+    to the device would waste HBM bandwidth.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        reduction: int,
+        max_points: int = 2048,
+        seed: int = 0,
+        num_threads: int = 4,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        drop_last: bool = True,
+    ) -> None:
+        if batch_size % max(dataset.num_crops, 1):
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by num_crops "
+                f"{dataset.num_crops}"
+            )
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.items_per_batch = batch_size // dataset.num_crops
+        self.reduction = reduction
+        self.max_points = max_points
+        self.seed = seed
+        self.num_threads = num_threads
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.items_per_batch
+        return (n + self.items_per_batch - 1) // self.items_per_batch
+
+    def _epoch_indices(self) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 1_000_003 + self.epoch)
+        perm = rng.permutation(len(self.dataset))
+        # Same-size shards per host: truncate to a multiple of num_hosts.
+        usable = (len(perm) // self.num_hosts) * self.num_hosts
+        return perm[:usable][self.host_id :: self.num_hosts]
+
+    def __iter__(self) -> Iterator[Batch]:
+        indices = self._epoch_indices()
+        item_rng = np.random.default_rng(
+            (self.seed + 1) * 7_777_777 + self.epoch * 131 + self.host_id
+        )
+        # Pre-draw one child seed per item so results don't depend on
+        # thread scheduling.
+        item_seeds = item_rng.integers(0, 2**63 - 1, size=len(indices))
+
+        def load(i: int):
+            rng = np.random.default_rng(item_seeds[i])
+            return self.dataset.__getitem__(int(indices[i]), rng=rng)
+
+        n_batches = len(self)
+        work: "queue.Queue[int]" = queue.Queue()
+        results: dict[int, object] = {}
+        results_lock = threading.Lock()
+        results_ready = threading.Condition(results_lock)
+        n_items = n_batches * self.items_per_batch
+        for i in range(n_items):
+            work.put(i)
+
+        def worker():
+            while True:
+                try:
+                    i = work.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    item = load(i)
+                except Exception as e:  # surface loader errors to the consumer
+                    item = e
+                with results_ready:
+                    results[i] = item
+                    results_ready.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.num_threads, max(n_items, 1)))
+        ]
+        for t in threads:
+            t.start()
+
+        for b in range(n_batches):
+            items = []
+            for i in range(b * self.items_per_batch, (b + 1) * self.items_per_batch):
+                with results_ready:
+                    while i not in results:
+                        results_ready.wait()
+                    item = results.pop(i)
+                if isinstance(item, Exception):
+                    raise item
+                items.append(item)
+            yield self._collate(items)
+
+    def _collate(self, items) -> Batch:
+        images = np.concatenate([im for im, _, _ in items], axis=0)
+        point_lists = [p for _, pts, _ in items for p in pts]
+        densities = np.concatenate([d for _, _, d in items], axis=0)
+        points, mask = pad_points(point_lists, self.max_points)
+        density_blocks = block_sum(densities, self.reduction)
+        return Batch(
+            images=images.astype(np.float32),
+            points=points,
+            point_mask=mask,
+            density=density_blocks.astype(np.float32),
+        )

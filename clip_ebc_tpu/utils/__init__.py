@@ -1,0 +1,2 @@
+from .metrics import count_errors, CountErrorAccumulator
+from .logging import get_logger, MetricWriter

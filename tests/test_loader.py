@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from clip_ebc_tpu.data.loader import Batch, pad_points
+
+
+def test_pad_points_shapes_and_mask():
+    pts = [
+        np.array([[1.0, 2.0], [3.0, 4.0]], np.float32),
+        np.zeros((0, 2), np.float32),
+        np.array([[5.0, 6.0]], np.float32),
+    ]
+    padded, mask = pad_points(pts, max_points=4)
+    assert padded.shape == (3, 4, 2)
+    assert mask.shape == (3, 4)
+    assert mask.sum(axis=1).tolist() == [2, 0, 1]
+    np.testing.assert_allclose(padded[0, :2], pts[0])
+    assert padded[0, 2:].sum() == 0
+
+
+def test_pad_points_truncates():
+    pts = [np.arange(20, dtype=np.float32).reshape(10, 2)]
+    padded, mask = pad_points(pts, max_points=4)
+    assert mask.sum() == 4
+    np.testing.assert_allclose(padded[0], pts[0][:4])
+
+
+def test_batch_gt_counts():
+    pts = [np.ones((3, 2), np.float32), np.ones((1, 2), np.float32)]
+    padded, mask = pad_points(pts, 8)
+    b = Batch(
+        images=np.zeros((2, 4, 4, 3), np.float32),
+        points=padded,
+        point_mask=mask,
+        density=np.zeros((2, 1, 1), np.float32),
+    )
+    np.testing.assert_allclose(b.gt_counts, [3.0, 1.0])
+
+
+class _FakeDataset:
+    """Synthetic dataset mimicking CrowdDataset's item contract."""
+
+    num_crops = 2
+
+    def __init__(self, n=8, size=32):
+        self.n = n
+        self.size = size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx, rng=None):
+        rng = rng or np.random.default_rng(idx)
+        k, s = self.num_crops, self.size
+        images = rng.normal(size=(k, s, s, 3)).astype(np.float32)
+        labels = [
+            rng.uniform(0, s, size=(idx % 3, 2)).astype(np.float32) for _ in range(k)
+        ]
+        densities = np.zeros((k, s, s), np.float32)
+        for i, lab in enumerate(labels):
+            for x, y in lab:
+                densities[i, int(y), int(x)] += 1.0
+        return images, labels, densities
+
+
+def test_train_loader_batches():
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _FakeDataset(n=8)
+    loader = TrainLoader(ds, batch_size=4, reduction=8, max_points=16, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 4  # 8 items * 2 crops / 4
+    for b in batches:
+        assert b.images.shape == (4, 32, 32, 3)
+        assert b.points.shape == (4, 16, 2)
+        assert b.density.shape == (4, 4, 4)
+
+
+def test_train_loader_deterministic_given_seed_epoch():
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _FakeDataset(n=8)
+    l1 = TrainLoader(ds, batch_size=4, reduction=8, max_points=16, seed=3, num_threads=1)
+    l2 = TrainLoader(ds, batch_size=4, reduction=8, max_points=16, seed=3, num_threads=4)
+    l1.set_epoch(2)
+    l2.set_epoch(2)
+    b1 = list(l1)
+    b2 = list(l2)
+    for x, y in zip(b1, b2):
+        np.testing.assert_allclose(x.images, y.images)
+        np.testing.assert_allclose(x.points, y.points)
+
+
+def test_train_loader_host_sharding_disjoint():
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _FakeDataset(n=8)
+    l0 = TrainLoader(ds, batch_size=2, reduction=8, max_points=16, seed=0, host_id=0, num_hosts=2)
+    l1 = TrainLoader(ds, batch_size=2, reduction=8, max_points=16, seed=0, host_id=1, num_hosts=2)
+    i0 = l0._epoch_indices()
+    i1 = l1._epoch_indices()
+    assert len(i0) == len(i1) == 4
+    assert set(i0).isdisjoint(set(i1))
+
+
+def test_train_loader_batch_size_validation():
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _FakeDataset()
+    with pytest.raises(ValueError):
+        TrainLoader(ds, batch_size=3, reduction=8)
