@@ -1,0 +1,120 @@
+"""Shared transformer building blocks for ViT / CLIP encoders.
+
+Pre-LN residual attention blocks in batch-major layout ``(B, L, D)``
+(the reference uses torch's sequence-major ``(L, B, D)``; batch-major is
+the natural layout for XLA batching on TPU). LayerNorm runs in fp32 and
+casts back, matching CLIP's fp16-safe LayerNorm
+(reference models/clip/_clip/blocks.py:8-14).
+
+The attention inner product can be swapped (``attn_impl``) between the
+XLA einsum path and the Pallas flash-attention kernel in
+``clip_ebc_tpu.ops.flash_attention``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(1.702 * x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32, output cast back to the input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig = x.dtype
+        out = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig)
+
+
+def sdpa_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """Reference attention: (B, H, L, Dh) einsum softmax path, fp32 softmax."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Joint-QKV multi-head attention (torch nn.MultiheadAttention layout:
+    a single in-projection so converted checkpoints map 1:1)."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+    attn_impl: Callable = sdpa_attention
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        b, l, d = x.shape
+        if d % self.num_heads:
+            raise ValueError(f"dim {d} not divisible by heads {self.num_heads}")
+        dh = d // self.num_heads
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        out = self.attn_impl(heads(q), heads(k), heads(v), mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN block: x + MHA(ln1(x)); x + MLP(ln2(x))
+    (reference models/clip/_clip/blocks.py:22-42)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    act: Callable = quick_gelu
+    ln_epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    attn_impl: Callable = sdpa_attention
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        d = x.shape[-1]
+        h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
+        x = x + MultiHeadAttention(
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+        )(h, mask)
+        h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
+        h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
+        h = self.act(h)
+        h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
+        return x + h
+
+
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, grid_hw: tuple, new_hw: tuple, method: str = "bicubic"
+) -> jnp.ndarray:
+    """Resize the patch part of a (1 + H*W, D) positional embedding to a new
+    grid, keeping the CLS slot (reference _clip/image_encoder.py:183-198)."""
+    import jax
+
+    (h, w), (nh, nw) = grid_hw, new_hw
+    if (h, w) == (nh, nw):
+        return pos_embed
+    cls_tok, patch = pos_embed[:1], pos_embed[1:]
+    d = patch.shape[-1]
+    patch = patch.reshape(h, w, d)
+    patch = jax.image.resize(patch, (nh, nw, d), method=method).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_tok, patch.reshape(nh * nw, d)], axis=0)
