@@ -1,0 +1,140 @@
+"""DMCount loss: entropic-OT + total-variation + count L1.
+
+Semantics follow reference losses/dm_loss.py. The per-image Python loop of
+the reference OTLoss (reference dm_loss.py:48) is replaced by a single
+``vmap`` over padded point sets — every image in the batch solves its
+Sinkhorn system simultaneously on the MXU. Everything runs in fp32 (the
+reference pins this path to fp32 under AMP, reference dm_loss.py:99).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sinkhorn import sinkhorn
+
+EPS = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class DMCountConfig:
+    input_size: int
+    reduction: int
+    norm_cood: bool = False
+    num_iters: int = 100
+    reg: float = 10.0
+    weight_ot: float = 0.1
+    weight_tv: float = 0.01
+
+
+def _block_centers(cfg: DMCountConfig) -> jnp.ndarray:
+    """1-D block-center coordinates in input-pixel space
+    (reference dm_loss.py:31-34)."""
+    cood = jnp.arange(0, cfg.input_size, cfg.reduction, dtype=jnp.float32) + cfg.reduction / 2
+    if cfg.norm_cood:
+        cood = cood / cfg.input_size * 2 - 1
+    return cood
+
+
+def _ot_single(
+    pred_density: jnp.ndarray,  # (H, W) fp32, non-negative
+    points: jnp.ndarray,  # (P, 2) padded xy
+    mask: jnp.ndarray,  # (P,) bool
+    cood: jnp.ndarray,  # (Hc,) block centers (H == W == Hc here)
+    cfg: DMCountConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image's OT surrogate loss and Wasserstein distance estimate.
+
+    Returns (ot_loss_i, wd_i); both 0 when the image has no points.
+    """
+    h, w = pred_density.shape
+    n = jnp.sum(mask.astype(jnp.float32))
+    has_points = n > 0
+
+    pts = points
+    if cfg.norm_cood:
+        pts = pts / cfg.input_size * 2 - 1
+    # Squared L2 cost between each GT point and each block center; row-major
+    # over (y, x) to match the flattened density (reference dm_loss.py:51-59).
+    dx = (pts[:, 0:1] - cood[None, :]) ** 2  # (P, W)
+    dy = (pts[:, 1:2] - cood[None, :]) ** 2  # (P, H)
+    cost = (dy[:, :, None] + dx[:, None, :]).reshape(pts.shape[0], h * w)
+
+    source = jax.lax.stop_gradient(pred_density.reshape(-1))
+    source_count = source.sum()
+    source_prob = source / (source_count + EPS)
+    target_prob = jnp.where(mask, 1.0 / jnp.maximum(n, 1.0), 0.0)
+
+    res = sinkhorn(
+        target_prob,
+        source_prob,
+        cost,
+        reg=cfg.reg,
+        max_iters=cfg.num_iters,
+        a_mask=mask,
+    )
+    beta = res.beta  # (H*W,)
+
+    # d(OT)/d(pred) = beta/c - <source, beta>/c^2, detached; the loss is the
+    # inner product so grad w.r.t. pred_density is exactly that gradient
+    # (reference dm_loss.py:66-76).
+    grad1 = source_count / (source_count**2 + EPS) * beta
+    grad2 = jnp.sum(source * beta) / (source_count**2 + EPS)
+    gradient = jax.lax.stop_gradient(grad1 - grad2)
+
+    ot_i = jnp.sum(pred_density.reshape(-1) * gradient)
+    wd_i = jnp.sum(cost * res.plan)
+    zero = jnp.asarray(0.0, jnp.float32)
+    return (
+        jnp.where(has_points, ot_i, zero),
+        jnp.where(has_points, wd_i, zero),
+    )
+
+
+def dmcount_loss(
+    pred_density: jnp.ndarray,  # (B, H, W) fp32
+    target_density: jnp.ndarray,  # (B, H, W) block-summed dot map
+    points: jnp.ndarray,  # (B, P, 2)
+    point_mask: jnp.ndarray,  # (B, P)
+    cfg: DMCountConfig,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """loss = weight_ot * OT(sum over batch) + weight_tv * TV + count-L1
+    (reference dm_loss.py:100-124)."""
+    pred_density = pred_density.astype(jnp.float32)
+    target_density = target_density.astype(jnp.float32)
+
+    b, h, w = pred_density.shape
+    cood = _block_centers(cfg)
+    if cood.shape[0] != h or h != w:
+        raise ValueError(
+            f"pred density {h}x{w} incompatible with input_size/reduction grid "
+            f"{cood.shape[0]}"
+        )
+
+    pred_count = pred_density.reshape(b, -1).sum(axis=1)
+    target_count = point_mask.sum(axis=1).astype(jnp.float32)
+
+    ot_per_image, _wd = jax.vmap(
+        lambda p, pt, m: _ot_single(p, pt, m, cood, cfg)
+    )(pred_density, points, point_mask)
+    ot_loss = ot_per_image.sum()  # summed over batch, like the reference
+
+    normed_pred = pred_density / (pred_count[:, None, None] + EPS)
+    normed_target = target_density / (target_count[:, None, None] + EPS)
+    tv_per_image = jnp.abs(normed_pred - normed_target).sum(axis=(1, 2))
+    tv_loss = (tv_per_image * target_count).mean()
+
+    count_loss = jnp.abs(pred_count - target_count).mean()
+
+    loss = ot_loss * cfg.weight_ot + tv_loss * cfg.weight_tv + count_loss
+    info = {
+        "loss": jax.lax.stop_gradient(loss),
+        "ot_loss": jax.lax.stop_gradient(ot_loss),
+        "tv_loss": jax.lax.stop_gradient(tv_loss),
+        "count_loss": jax.lax.stop_gradient(count_loss),
+    }
+    return loss, info
