@@ -29,7 +29,7 @@ from .density import block_sum
 
 
 @dataclass
-class Batch:
+class Batch:  # registered as a jax pytree below so it can cross jit boundaries
     """One training batch (all fixed-shape numpy arrays).
 
     images:  (B, H, W, 3) float32, ImageNet-normalized
@@ -46,6 +46,15 @@ class Batch:
     @property
     def gt_counts(self) -> np.ndarray:
         return self.point_mask.sum(axis=1).astype(np.float32)
+
+
+import jax.tree_util as _jtu
+
+_jtu.register_dataclass(
+    Batch,
+    data_fields=["images", "points", "point_mask", "density"],
+    meta_fields=[],
+)
 
 
 def pad_points(
