@@ -1,0 +1,129 @@
+"""Sliding-window inference as one compiled program.
+
+The reference builds the window list in Python, runs one batched forward,
+then assembles the overlap-average on the host in numpy
+(reference utils/eval_utils.py:26-96). Here the whole thing is device-side
+and XLA-compiled:
+
+- window starts are a static grid (edge-clamped like the reference);
+- windows are gathered with vmapped ``dynamic_slice``;
+- the window batch is padded up to a bucket size so the model forward
+  compiles once per bucket instead of once per distinct window count;
+- overlap assembly is a ``lax.scan`` of dynamic-slice adds (sum map +
+  hit-count map, then divide), or a running ``maximum`` for the "max"
+  strategy (documented in the reference README but never implemented
+  there — see reference README.md:192).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_grid(
+    image_hw: Tuple[int, int], window: Tuple[int, int], stride: Tuple[int, int]
+) -> np.ndarray:
+    """Static (N, 2) array of (y, x) window starts, edge-clamped
+    (reference eval_utils.py:59-69)."""
+    (h, w), (wh, ww), (sh, sw) = image_hw, window, stride
+    if wh > h or ww > w:
+        raise ValueError(f"window {window} larger than image {image_hw}")
+    rows = int(np.ceil((h - wh) / sh) + 1)
+    cols = int(np.ceil((w - ww) / sw) + 1)
+    starts = []
+    for i in range(rows):
+        y = min(i * sh, h - wh)
+        for j in range(cols):
+            x = min(j * sw, w - ww)
+            starts.append((y, x))
+    return np.asarray(starts, np.int32)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "window", "stride", "reduction", "strategy", "bucket"),
+)
+def sliding_window_predict(
+    apply_fn: Callable,  # (windows[N,wh,ww,3]) -> density[N,wh/r,ww/r]
+    image: jnp.ndarray,  # (H, W, 3)
+    window: Tuple[int, int],
+    stride: Tuple[int, int],
+    reduction: int,
+    strategy: str = "average",
+    bucket: int = 16,
+) -> jnp.ndarray:
+    """Predict the full-image density map ((H/r, W/r)) by sliding windows."""
+    h, w, _ = image.shape
+    wh, ww = window
+    starts = jnp.asarray(window_grid((h, w), window, stride))
+    n = starts.shape[0]
+    n_pad = _round_up(n, bucket)
+    starts_padded = jnp.concatenate(
+        [starts, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
+    )
+    valid = jnp.arange(n_pad) < n
+
+    def gather(yx):
+        return jax.lax.dynamic_slice(image, (yx[0], yx[1], 0), (wh, ww, image.shape[2]))
+
+    windows = jax.vmap(gather)(starts_padded)  # (n_pad, wh, ww, 3)
+    preds = apply_fn(windows)  # (n_pad, wh/r, ww/r)
+    bh, bw = wh // reduction, ww // reduction
+    if preds.shape[-2:] != (bh, bw):
+        raise ValueError(
+            f"model produced {preds.shape[-2:]} blocks for window {window} "
+            f"at reduction {reduction}"
+        )
+    preds = preds.astype(jnp.float32)
+
+    hr, wr = h // reduction, w // reduction
+    if strategy == "average":
+        init = (jnp.zeros((hr, wr), jnp.float32), jnp.zeros((hr, wr), jnp.float32))
+
+        def body(carry, inp):
+            acc, cnt = carry
+            yx, pred, ok = inp
+            by, bx = yx[0] // reduction, yx[1] // reduction
+            ok_f = ok.astype(jnp.float32)
+            patch = jax.lax.dynamic_slice(acc, (by, bx), (bh, bw))
+            acc = jax.lax.dynamic_update_slice(acc, patch + pred * ok_f, (by, bx))
+            cpatch = jax.lax.dynamic_slice(cnt, (by, bx), (bh, bw))
+            cnt = jax.lax.dynamic_update_slice(cnt, cpatch + ok_f, (by, bx))
+            return (acc, cnt), None
+
+        (acc, cnt), _ = jax.lax.scan(body, init, (starts_padded, preds, valid))
+        return acc / jnp.maximum(cnt, 1.0)
+
+    if strategy == "max":
+        init = jnp.full((hr, wr), -jnp.inf, jnp.float32)
+
+        def body_max(acc, inp):
+            yx, pred, ok = inp
+            by, bx = yx[0] // reduction, yx[1] // reduction
+            patch = jax.lax.dynamic_slice(acc, (by, bx), (bh, bw))
+            new = jnp.where(ok, jnp.maximum(patch, pred), patch)
+            return jax.lax.dynamic_update_slice(acc, new, (by, bx)), None
+
+        acc, _ = jax.lax.scan(body_max, init, (starts_padded, preds, valid))
+        return jnp.where(jnp.isfinite(acc), acc, 0.0)
+
+    raise ValueError(f"strategy must be 'average' or 'max', got {strategy}")
+
+
+def resize_density_map(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of a (H, W) density map, rescaled to preserve total
+    mass (reference eval_utils.py:19-23)."""
+    total = x.sum()
+    out = jax.image.resize(x, size, method="bilinear")
+    new_total = out.sum()
+    scale = jnp.where(new_total > 0, total / new_total, 0.0)
+    return out * scale

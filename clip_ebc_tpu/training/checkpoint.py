@@ -1,0 +1,152 @@
+"""Checkpointing: rolling full-state checkpoint + best-k weight snapshots.
+
+Reference semantics (reference utils/train_utils.py:103-157,
+utils/log_utils.py:71-107): a single rolling checkpoint with model/
+optimizer/schedule state, epoch, loss history and best scores, auto-
+resumed at startup; plus weights-only "best_{metric}_{rank}" snapshots
+for the k best validation scores per metric.
+
+TPU-native storage is Orbax (async-capable, sharding-aware). Instead of
+the reference's rank-shifting file renames, best weights are stored once
+per epoch under ``best/{epoch}`` and a JSON table maps each metric to its
+ranked (score, epoch) list; snapshots no longer referenced by any top-k
+list are pruned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+METRICS = ("mae", "rmse")
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, save_best_k: int = 3) -> None:
+        self.dir = os.path.abspath(ckpt_dir)
+        self.save_best_k = save_best_k
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self._meta_path = os.path.join(self.dir, "meta.json")
+
+    # -- meta ---------------------------------------------------------------
+
+    def _load_meta(self) -> Dict[str, Any]:
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                return json.load(f)
+        return {
+            "epoch": 0,
+            "hist_scores": {m: [] for m in METRICS},
+            "best_scores": {m: [] for m in METRICS},  # ranked [score, epoch]
+            "loss_history": [],
+        }
+
+    def _save_meta(self, meta: Dict[str, Any]) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path)
+
+    # -- rolling full state ---------------------------------------------------
+
+    def save_latest(self, state, epoch: int, loss_info: Optional[Dict[str, float]] = None) -> None:
+        path = os.path.join(self.dir, "latest_new")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, _savable(state))
+        self._ckptr.wait_until_finished()
+        final = os.path.join(self.dir, "latest")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(path, final)
+        meta = self._load_meta()
+        meta["epoch"] = epoch
+        if loss_info:
+            meta["loss_history"].append({"epoch": epoch, **{k: float(v) for k, v in loss_info.items()}})
+        self._save_meta(meta)
+
+    def restore_latest(self, state_template) -> Optional[Tuple[Any, int]]:
+        """Auto-resume: returns (state, next_epoch) or None if absent."""
+        path = os.path.join(self.dir, "latest")
+        if not os.path.exists(path):
+            return None
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, _savable(state_template))
+        restored = self._ckptr.restore(path, abstract)
+        state = state_template.replace(**restored)
+        meta = self._load_meta()
+        return state, int(meta["epoch"]) + 1
+
+    # -- best-k weight snapshots ----------------------------------------------
+
+    def update_best(
+        self, scores: Dict[str, float], epoch: int, weights
+    ) -> Dict[str, List[Tuple[float, int]]]:
+        """Insert this epoch's val scores; persist weights if it enters any
+        top-k; prune snapshots that fell out everywhere. Returns the ranked
+        best tables."""
+        meta = self._load_meta()
+        for m in METRICS:
+            if m in scores:
+                meta["hist_scores"][m].append([float(scores[m]), epoch])
+
+        entered = False
+        for m in METRICS:
+            if m not in scores:
+                continue
+            table = [tuple(x) for x in meta["best_scores"][m]]
+            table.append((float(scores[m]), epoch))
+            table.sort(key=lambda se: (se[0], se[1]))
+            table = table[: self.save_best_k]
+            if any(e == epoch for _, e in table):
+                entered = True
+            meta["best_scores"][m] = [list(x) for x in table]
+
+        if entered:
+            path = os.path.join(self.dir, "best", str(epoch))
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            self._ckptr.save(path, weights)
+            self._ckptr.wait_until_finished()
+
+        keep = {
+            e for m in METRICS for _, e in (tuple(x) for x in meta["best_scores"][m])
+        }
+        best_root = os.path.join(self.dir, "best")
+        if os.path.isdir(best_root):
+            for name in os.listdir(best_root):
+                if name.isdigit() and int(name) not in keep:
+                    shutil.rmtree(os.path.join(best_root, name))
+
+        self._save_meta(meta)
+        return {m: [tuple(x) for x in meta["best_scores"][m]] for m in METRICS}
+
+    def best_weights_path(self, metric: str = "mae", rank: int = 0) -> Optional[str]:
+        meta = self._load_meta()
+        table = meta["best_scores"].get(metric, [])
+        if rank >= len(table):
+            return None
+        return os.path.join(self.dir, "best", str(int(table[rank][1])))
+
+    def restore_weights(self, path: str, weights_template):
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, weights_template)
+        return self._ckptr.restore(path, abstract)
+
+    @property
+    def meta(self) -> Dict[str, Any]:
+        return self._load_meta()
+
+
+def _savable(state) -> Dict[str, Any]:
+    """The array-bearing fields of a TrainState (tx is static code)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }

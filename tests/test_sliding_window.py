@@ -1,0 +1,138 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clip_ebc_tpu.ops.sliding_window import (
+    resize_density_map,
+    sliding_window_predict,
+    window_grid,
+)
+
+RED = 8
+
+
+def fake_apply(windows):
+    """Deterministic 'model': block-sum of channel 0 over reduction blocks."""
+    n, wh, ww, _ = windows.shape
+    x = windows[..., 0]
+    return x.reshape(n, wh // RED, RED, ww // RED, RED).sum(axis=(2, 4))
+
+
+def numpy_sliding_oracle(image, window, stride, strategy="average"):
+    """Numpy re-implementation of the reference's host-side assembly
+    (reference utils/eval_utils.py:59-96) against the same fake model."""
+    h, w = image.shape[:2]
+    wh, ww = window
+    sh, sw = stride
+    rows = int(np.ceil((h - wh) / sh) + 1)
+    cols = int(np.ceil((w - ww) / sw) + 1)
+    acc = np.zeros((h // RED, w // RED), np.float64)
+    cnt = np.zeros_like(acc)
+    mx = np.full_like(acc, -np.inf)
+    for i in range(rows):
+        for j in range(cols):
+            y, x = min(i * sh, h - wh), min(j * sw, w - ww)
+            win = image[y : y + wh, x : x + ww]
+            pred = np.asarray(fake_apply(win[None]))[0]
+            ys, xs = y // RED, x // RED
+            acc[ys : ys + wh // RED, xs : xs + ww // RED] += pred
+            cnt[ys : ys + wh // RED, xs : xs + ww // RED] += 1
+            mx[ys : ys + wh // RED, xs : xs + ww // RED] = np.maximum(
+                mx[ys : ys + wh // RED, xs : xs + ww // RED], pred
+            )
+    return (acc / cnt) if strategy == "average" else mx
+
+
+def test_window_grid_clamps_edges():
+    grid = window_grid((100, 70), (64, 64), (48, 48))
+    # rows: ceil(36/48)+1 = 2 -> y in {0, 36}; cols: ceil(6/48)+1=2 -> x in {0, 6}
+    np.testing.assert_array_equal(grid, [[0, 0], [0, 6], [36, 0], [36, 6]])
+
+
+def test_sliding_matches_numpy_oracle_overlapping():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (96, 128, 3)).astype(np.float32)
+    out = sliding_window_predict(
+        fake_apply, jnp.asarray(img), window=(64, 64), stride=(32, 32), reduction=RED
+    )
+    oracle = numpy_sliding_oracle(img, (64, 64), (32, 32))
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_sliding_matches_oracle_nondivisible():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (104, 88, 3)).astype(np.float32)
+    out = sliding_window_predict(
+        fake_apply, jnp.asarray(img), window=(64, 64), stride=(48, 48), reduction=RED
+    )
+    oracle = numpy_sliding_oracle(img, (64, 64), (48, 48))
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_sliding_window_equals_direct_when_window_is_image():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    out = sliding_window_predict(
+        fake_apply, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
+    )
+    direct = np.asarray(fake_apply(img[None]))[0]
+    np.testing.assert_allclose(np.asarray(out), direct, rtol=1e-6)
+
+
+def test_sliding_max_strategy():
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    out = sliding_window_predict(
+        fake_apply, jnp.asarray(img), window=(64, 64), stride=(32, 32),
+        reduction=RED, strategy="max",
+    )
+    oracle = numpy_sliding_oracle(img, (64, 64), (32, 32), strategy="max")
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_count_preserved_nonoverlapping():
+    """stride == window: assembly is a partition, total equals direct sum."""
+    rng = np.random.default_rng(4)
+    img = rng.uniform(0, 1, (128, 192, 3)).astype(np.float32)
+    out = sliding_window_predict(
+        fake_apply, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
+    )
+    np.testing.assert_allclose(float(out.sum()), float(img[..., 0].sum()), rtol=1e-4)
+
+
+def test_resize_density_map_preserves_mass():
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.uniform(0, 1, (16, 16)).astype(np.float32))
+    out = resize_density_map(d, (37, 23))
+    assert float(out.sum()) == pytest.approx(float(d.sum()), rel=1e-5)
+    zero = resize_density_map(jnp.zeros((8, 8)), (16, 16))
+    assert float(zero.sum()) == 0.0
+
+
+def test_evaluator_end_to_end():
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training.evaluate import Evaluator
+
+    bins = [(0.0, 0.0), (1.0, 1.0), (2.0, float("inf"))]
+    anchors = [0.0, 1.0, 2.2]
+    model = get_model("vgg11_ae", input_size=64, reduction=8, bins=bins, anchor_points=anchors)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    variables = {"params": variables["params"], **(
+        {"batch_stats": variables["batch_stats"]} if "batch_stats" in variables else {}
+    )}
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(64, 96, 3)).astype(np.float32)
+
+    ev_direct = Evaluator(model, reduction=8)
+    ev_sw = Evaluator(model, reduction=8, sliding_window=True, window_size=64, stride=64)
+    d_direct = np.asarray(ev_direct.predict_density(variables, img))
+    assert d_direct.shape == (8, 12)
+    c_sw = ev_sw.predict_count(variables, np.concatenate([img, img[:, :32]], axis=1)[:, :128])
+    assert np.isfinite(c_sw)
+    # window == full width tile: sliding over a 64x128 image with 64-windows
+    img128 = rng.normal(size=(64, 128, 3)).astype(np.float32)
+    d_sw = np.asarray(ev_sw.predict_density(variables, img128))
+    left = np.asarray(ev_direct.predict_density(variables, img128[:, :64]))
+    right = np.asarray(ev_direct.predict_density(variables, img128[:, 64:]))
+    np.testing.assert_allclose(d_sw, np.concatenate([left, right], axis=1), rtol=2e-3, atol=2e-5)
