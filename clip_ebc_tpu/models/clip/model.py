@@ -1,0 +1,242 @@
+"""CLIP-EBC: zero-shot-style blockwise count classification (Flax).
+
+Architecture (reference models/clip/model.py:191-217):
+  image encoder (ModifiedResNet fine-tuned, or frozen ViT + VPT)
+    -> optional bilinear up-scale from encoder_reduction to reduction
+    -> residual-block decoder -> 1x1 projection to the CLIP embed dim
+    -> L2-normalize, cosine similarity against text-prompt embeddings
+       scaled by exp(logit_scale) (init ln(1/0.07))
+    -> per-block bin logits -> softmax . anchor_points = density.
+
+Text prompts are built from the bins ("There are five people." etc.),
+tokenized once at construction, and encoded by the CLIP text encoder
+inside ``__call__`` — under ``stop_gradient`` when frozen, so XLA treats
+the text tower as a constant-folding-friendly side branch (the reference
+precomputes the features eagerly instead, reference model.py:127-129).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..blocks import ResNetStage, resize_bilinear
+from ..heads import expectation_from_logits
+from .image_encoder import RESNET_CONFIGS, VIT_CONFIGS, ClipModifiedResNet, ClipViT
+from .prompts import bin_prompts
+from .text_encoder import ClipTextEncoder
+from .tokenizer import tokenize
+
+# Text tower shapes per backbone: (width, heads); all have 12 layers.
+TEXT_CONFIGS = {
+    "resnet50": (512, 8),
+    "resnet101": (512, 8),
+    "resnet50x4": (640, 10),
+    "resnet50x16": (768, 12),
+    "resnet50x64": (1024, 16),
+    "vit_b_16": (512, 8),
+    "vit_b_32": (512, 8),
+    "vit_l_14": (768, 12),
+    "vit_l_14_336px": (768, 12),
+}
+
+# Default decoder configurations (reference models/clip/model.py:234-255).
+DECODER_CFGS = {
+    "resnet50": ("bottleneck", (2048,)),
+    "resnet50x4": ("bottleneck", (1280,)),
+    "resnet50x16": ("bottleneck", (1536,)),
+    "resnet50x64": ("bottleneck", (2048,)),
+    "resnet101": ("bottleneck", (2048, 1024)),
+    "vit_b_16": ("basic", (768,)),
+    "vit_b_32": ("basic", (768,)),
+    "vit_l_14": ("basic", (1024,)),
+    "vit_l_14_336px": ("basic", (1024,)),
+}
+
+
+class ClipEBC(nn.Module):
+    backbone: str
+    bins: Sequence[Tuple[float, float]]
+    anchor_points: Sequence[float]
+    reduction: Optional[int] = None
+    freeze_text_encoder: bool = True
+    freeze_image_encoder: bool = False  # True for ViT backbones (VPT mode)
+    prompt_type: str = "word"
+    input_size: int = 224
+    num_vpt: int = 32
+    deep_vpt: bool = True
+    vpt_drop: float = 0.0
+    decoder_block: Optional[str] = None
+    decoder_cfg: Optional[Sequence[Union[int, str]]] = None
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @property
+    def is_vit(self) -> bool:
+        return self.backbone in VIT_CONFIGS
+
+    @property
+    def encoder_reduction(self) -> int:
+        if self.is_vit:
+            return VIT_CONFIGS[self.backbone][0]
+        return 16 if (self.reduction or 32) <= 16 else 32
+
+    @property
+    def out_reduction(self) -> int:
+        return self.reduction or self.encoder_reduction
+
+    @property
+    def clip_embed_dim(self) -> int:
+        if self.is_vit:
+            return VIT_CONFIGS[self.backbone][4]
+        return RESNET_CONFIGS[self.backbone][2]
+
+    def setup(self):
+        if len(self.bins) != len(self.anchor_points):
+            raise ValueError("bins and anchor_points must have equal length")
+        if self.is_vit:
+            self.image_encoder = ClipViT(
+                variant=self.backbone,
+                input_size=self.input_size,
+                num_vpt=self.num_vpt,
+                deep_vpt=self.deep_vpt,
+                vpt_drop=self.vpt_drop,
+                dtype=self.dtype,
+            )
+        else:
+            self.image_encoder = ClipModifiedResNet(
+                variant=self.backbone,
+                reduction=self.out_reduction,
+                features_only=True,
+                dtype=self.dtype,
+                axis_name=self.axis_name,
+            )
+
+        block, cfg = DECODER_CFGS[self.backbone]
+        if self.decoder_block is not None:
+            block = self.decoder_block
+        if self.decoder_cfg is not None:
+            cfg = tuple(self.decoder_cfg)
+        self.image_decoder = ResNetStage(
+            cfg, block=block, dtype=self.dtype, axis_name=self.axis_name
+        )
+        self._decoder_out = int([c for c in cfg if c != "U"][-1])
+        if self._decoder_out != self.clip_embed_dim:
+            self.projection = nn.Conv(self.clip_embed_dim, (1, 1), dtype=self.dtype)
+        else:
+            self.projection = None
+
+        width, heads = TEXT_CONFIGS[self.backbone]
+        self.text_encoder = ClipTextEncoder(
+            embed_dim=self.clip_embed_dim,
+            width=width,
+            heads=heads,
+            layers=12,
+            dtype=self.dtype,
+        )
+        prompts = bin_prompts(self.bins, self.prompt_type)
+        self.text_tokens = jnp.asarray(tokenize(list(prompts)))
+
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda k: jnp.asarray(math.log(1 / 0.07), jnp.float32),
+        )
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feats = self.image_encoder(x, train)
+        if self.freeze_image_encoder:
+            # VPT: only the prompt tokens train; gradients to the frozen ViT
+            # weights are masked in the optimizer, and the features pass
+            # through unchanged.
+            pass
+        if self.out_reduction != self.encoder_reduction:
+            feats = resize_bilinear(feats, self.encoder_reduction / self.out_reduction)
+        feats = self.image_decoder(feats, train)
+        if self.projection is not None:
+            feats = self.projection(feats)
+
+        text_feats = self.text_encoder(self.text_tokens)  # (N, D)
+        if self.freeze_text_encoder:
+            text_feats = jax.lax.stop_gradient(text_feats)
+
+        img = feats.astype(jnp.float32)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True).clip(1e-12)
+        txt = text_feats.astype(jnp.float32)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True).clip(1e-12)
+
+        logits = jnp.exp(self.logit_scale) * jnp.einsum("bhwc,nc->bhwn", img, txt)
+        density = expectation_from_logits(
+            logits, jnp.asarray(self.anchor_points, jnp.float32)
+        )
+        if train:
+            return logits, density
+        return density
+
+
+def _vpt_frozen_predicate(path: Tuple[str, ...]) -> bool:
+    """Freeze the ViT trunk (all of image_encoder except the VPT prompts)
+    and the text tower."""
+    if "text_encoder" in path:
+        return True
+    if "image_encoder" in path and "vpt" not in path:
+        return True
+    return False
+
+
+def _text_frozen_predicate(path: Tuple[str, ...]) -> bool:
+    return "text_encoder" in path
+
+
+def build_clip_ebc(
+    backbone: str,
+    bins,
+    anchor_points,
+    reduction: Optional[int] = None,
+    input_size: int = 224,
+    freeze_text_encoder: bool = True,
+    prompt_type: str = "word",
+    num_vpt: int = 32,
+    deep_vpt: bool = True,
+    vpt_drop: float = 0.0,
+    decoder_block: Optional[str] = None,
+    decoder_cfg=None,
+    dtype: Any = jnp.float32,
+    axis_name: Optional[str] = None,
+    **_: Any,
+) -> ClipEBC:
+    """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
+
+    ViT backbones train via VPT with the trunk frozen; ResNet backbones
+    fine-tune end-to-end (reference model.py:60-76).
+    """
+    if bins is None or anchor_points is None:
+        raise ValueError("CLIP-EBC requires bins and anchor_points")
+    is_vit = backbone in VIT_CONFIGS
+    model = ClipEBC(
+        backbone=backbone,
+        bins=tuple(tuple(b) for b in bins),
+        anchor_points=tuple(anchor_points),
+        reduction=reduction,
+        freeze_text_encoder=freeze_text_encoder,
+        freeze_image_encoder=is_vit,
+        prompt_type=prompt_type,
+        input_size=input_size,
+        num_vpt=num_vpt if is_vit else 0,
+        deep_vpt=deep_vpt,
+        vpt_drop=vpt_drop,
+        decoder_block=decoder_block,
+        decoder_cfg=decoder_cfg,
+        dtype=dtype,
+        axis_name=axis_name,
+    )
+    # Attach the optimizer mask (consumed by Trainer).
+    if is_vit:
+        object.__setattr__(model, "frozen_param_predicate", _vpt_frozen_predicate)
+    elif freeze_text_encoder:
+        object.__setattr__(model, "frozen_param_predicate", _text_frozen_predicate)
+    return model
