@@ -1,0 +1,68 @@
+"""Benchmark: flagship CLIP-EBC ViT-B/16 inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no throughput numbers (accuracy only, see
+BASELINE.md), so vs_baseline is computed against an estimated A100 torch
+fp16 figure for ViT-B/16-class 224px inference (~1200 img/s; timm/torch
+benchmark ballpark, CLIP-EBC's extra decoder/head included). The
+BASELINE.json target is >=5x that per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_EST_IMGS_PER_SEC = 1200.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _flagship
+
+    model, _ = _flagship(dtype=jnp.bfloat16)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    x = jnp.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (batch, 224, 224, 3)), jnp.bfloat16
+    )
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+
+    # Each iteration perturbs the input so no caching layer (the axon
+    # relay dedupes identical executions) can shortcut, and the result is
+    # reduced to a scalar that we fetch to host — through the relay,
+    # block_until_ready alone does not guarantee execution finished.
+    @jax.jit
+    def forward(variables, images, i):
+        out = model.apply(variables, images + i.astype(images.dtype) * 0.01, train=False)
+        return out.sum()
+
+    float(forward(variables, x, jnp.asarray(0.0)))  # compile
+    for w in range(3):  # warmup
+        float(forward(variables, x, jnp.asarray(float(w + 1))))
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    vals = [forward(variables, x, jnp.asarray(float(10 + i))) for i in range(iters)]
+    for v in vals:
+        float(v)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vit_b16_224_sliding_window_inference",
+                "value": round(imgs_per_sec, 2),
+                "unit": "img/s/chip (224x224 windows, bf16)",
+                "vs_baseline": round(imgs_per_sec / A100_EST_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
