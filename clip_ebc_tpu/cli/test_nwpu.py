@@ -1,0 +1,133 @@
+"""NWPU-Crowd test-set submission generator.
+
+Loads a trained checkpoint, predicts counts for the 1500 unlabeled test
+images (optionally sliding-window), and writes the crowdbenchmark.com
+submission file: lines of "{image_id} {count}" with NO trailing newline
+(reference test_nwpu.py:89-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generate NWPU test predictions.")
+    p.add_argument("--model", type=str, default="clip_vit_b_16")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--reduction", type=int, default=8, choices=[8, 16, 32])
+    p.add_argument("--regression", action="store_true")
+    p.add_argument("--truncation", type=int, default=4)
+    p.add_argument("--anchor_points", type=str, default="average", choices=["average", "middle"])
+    p.add_argument("--prompt_type", type=str, default="word", choices=["word", "number"])
+    p.add_argument("--granularity", type=str, default="fine", choices=["fine", "dynamic", "coarse"])
+    p.add_argument("--num_vpt", type=int, default=32)
+    p.add_argument("--vpt_drop", type=float, default=0.0)
+    p.add_argument("--shallow_vpt", action="store_true")
+    p.add_argument("--weight_path", type=str, required=True,
+                   help="checkpoint dir: a best/* snapshot or a ckpt dir with latest/")
+    p.add_argument("--sliding_window", action="store_true")
+    p.add_argument("--window_size", type=int, default=None)
+    p.add_argument("--stride", type=int, default=None, help="defaults to window_size//2 (reference test_nwpu.py:75)")
+    p.add_argument("--strategy", type=str, default="average", choices=["average", "max"])
+    p.add_argument("--resize_to_multiple", action="store_true")
+    p.add_argument("--zero_pad_to_multiple", action="store_true")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--result_dir", type=str, default="nwpu_test_results")
+    p.add_argument("--amp", action="store_true")
+    p.add_argument("--limit", type=int, default=None, help="process only the first N images (smoke tests)")
+    p.add_argument("--disable_size_check", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.sliding_window:
+        args.window_size = args.input_size if args.window_size is None else args.window_size
+        # NOTE: unlike the training driver, the reference NWPU driver
+        # defaults stride to window//2
+        args.stride = args.window_size // 2 if args.stride is None else args.stride
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import get_bins_and_anchors
+    from ..data import NWPUTestDataset
+    from ..data.transforms import Resize2Multiple, ZeroPad2Multiple
+    from ..models import get_model
+    from ..training.checkpoint import CheckpointManager
+    from ..training.evaluate import Evaluator
+
+    bins = anchors = None
+    if not args.regression:
+        bins, anchors = get_bins_and_anchors(
+            args.reduction, args.truncation, "nwpu", args.granularity, args.anchor_points
+        )
+
+    dtype = jnp.bfloat16 if args.amp else jnp.float32
+    model = get_model(
+        args.model, args.input_size, args.reduction, bins, anchors,
+        prompt_type=args.prompt_type, num_vpt=args.num_vpt,
+        deep_vpt=not args.shallow_vpt, vpt_drop=args.vpt_drop, dtype=dtype,
+    )
+    template = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)), train=False
+    )
+
+    weight_path = os.path.abspath(args.weight_path)
+    mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
+    if os.path.isdir(os.path.join(weight_path, "latest")):
+        mgr = CheckpointManager(weight_path)
+        state_t = {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
+        restored = mgr.restore_weights(os.path.join(weight_path, "latest"), {
+            "step": jnp.asarray(0), "params": state_t["params"],
+            "batch_stats": state_t["batch_stats"], "opt_state": None,
+        })
+        variables = {"params": restored["params"]}
+        if restored["batch_stats"]:
+            variables["batch_stats"] = restored["batch_stats"]
+    else:
+        # weights-only snapshot (best/*)
+        weights_t = {"params": template["params"]}
+        if "batch_stats" in template:
+            weights_t["batch_stats"] = template["batch_stats"]
+        variables = mgr.restore_weights(weight_path, weights_t)
+
+    transforms = None
+    if args.sliding_window and args.resize_to_multiple:
+        transforms = Resize2Multiple(args.window_size, args.stride)
+    elif args.sliding_window and args.zero_pad_to_multiple:
+        transforms = ZeroPad2Multiple(args.window_size, args.stride)
+
+    dataset = NWPUTestDataset(
+        data_root=args.data_root, transforms=transforms,
+        check_sizes=not args.disable_size_check,
+    )
+    evaluator = Evaluator(
+        model, reduction=args.reduction,
+        sliding_window=args.sliding_window, window_size=args.window_size,
+        stride=args.stride, strategy=args.strategy,
+    )
+
+    n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+    lines = []
+    for i in range(n):
+        image, name = dataset[i]
+        count = evaluator.predict_count(variables, image)
+        lines.append(f"{os.path.splitext(name)[0]} {count}")
+        if (i + 1) % 100 == 0:
+            print(f"{i + 1}/{n}")
+
+    os.makedirs(args.result_dir, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(args.weight_path))
+    parent = os.path.basename(os.path.dirname(os.path.normpath(args.weight_path)))
+    out_path = os.path.join(args.result_dir, f"{parent}_{tag}.txt")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))  # no trailing newline (reference :111-116)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,8 @@ class ExperimentConfig:
                 granularity=cfg.granularity,
                 anchor_points=cfg.anchor_points,
             )
+        if cfg.resize_to_multiple and cfg.zero_pad_to_multiple:
+            raise ValueError("cannot use both resize_to_multiple and zero_pad_to_multiple")
         if cfg.sliding_window:
             if cfg.window_size is None:
                 cfg.window_size = cfg.input_size

@@ -16,6 +16,7 @@ from typing import Dict, Optional
 def get_logger(log_file: Optional[str] = None, name: str = "clip_ebc_tpu") -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
+    logger.propagate = False  # root logger often has absl/jax handlers
     if logger.handlers:
         return logger
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
