@@ -1,0 +1,260 @@
+"""PyTorch -> Flax weight conversion.
+
+Replaces the reference's checkpoint-preparation machinery
+(reference models/clip/_clip/prepare.py, utils.py:98-206 and the
+torchvision ``load_state_dict_from_url`` calls). Since this environment
+has no network egress, converters operate on a *local* state dict
+(``torch.load``-able file or an already-loaded mapping) rather than
+downloading.
+
+Conventions:
+- torch Conv2d weight (O, I, kH, kW) -> flax kernel (kH, kW, I, O)
+- torch Linear weight (O, I) -> flax Dense kernel (I, O)
+- torch MultiheadAttention in_proj rows [q; k; v] -> transposed kernel
+  columns [q, k, v], matching MultiHeadAttention's split order
+- BatchNorm weight/bias -> scale/bias (params), running_mean/var ->
+  mean/var (batch_stats)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def conv_kernel(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def dense_kernel(w) -> np.ndarray:
+    return _np(w).T
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a .pt/.pth file; unwraps jit archives and common wrappers."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        return dict(model.state_dict())
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        return dict(obj.state_dict())
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model_state_dict", "model"):
+            if key in obj and isinstance(obj[key], dict):
+                return dict(obj[key])
+        return dict(obj)
+    raise ValueError(f"cannot extract a state dict from {path}")
+
+
+class _TreeBuilder:
+    def __init__(self) -> None:
+        self.params: Dict[str, Any] = {}
+        self.stats: Dict[str, Any] = {}
+
+    def put(self, tree: Dict[str, Any], path: str, value: np.ndarray) -> None:
+        keys = path.split("/")
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+    def param(self, path: str, value) -> None:
+        self.put(self.params, path, value)
+
+    def stat(self, path: str, value) -> None:
+        self.put(self.stats, path, value)
+
+    def bn(self, dst: str, sd: Mapping[str, Any], src: str) -> None:
+        """torch BN at ``src`` -> our BatchNorm wrapper at ``dst``."""
+        inner = f"{dst}/BatchNorm_0"
+        self.param(f"{inner}/scale", _np(sd[f"{src}.weight"]))
+        self.param(f"{inner}/bias", _np(sd[f"{src}.bias"]))
+        self.stat(f"{inner}/mean", _np(sd[f"{src}.running_mean"]))
+        self.stat(f"{inner}/var", _np(sd[f"{src}.running_var"]))
+
+    def ln(self, dst: str, sd: Mapping[str, Any], src: str) -> None:
+        self.param(f"{dst}/LayerNorm_0/scale", _np(sd[f"{src}.weight"]))
+        self.param(f"{dst}/LayerNorm_0/bias", _np(sd[f"{src}.bias"]))
+
+    def attn(self, dst: str, sd: Mapping[str, Any], src: str) -> None:
+        """torch nn.MultiheadAttention -> MultiHeadAttention."""
+        self.param(f"{dst}/in_proj/kernel", dense_kernel(sd[f"{src}.in_proj_weight"]))
+        self.param(f"{dst}/in_proj/bias", _np(sd[f"{src}.in_proj_bias"]))
+        self.param(f"{dst}/out_proj/kernel", dense_kernel(sd[f"{src}.out_proj.weight"]))
+        self.param(f"{dst}/out_proj/bias", _np(sd[f"{src}.out_proj.bias"]))
+
+    def resblock(self, dst: str, sd: Mapping[str, Any], src: str) -> None:
+        """CLIP ResidualAttentionBlock (attn + ln_1/2 + mlp c_fc/c_proj)."""
+        self.ln(f"{dst}/ln_1", sd, f"{src}.ln_1")
+        self.ln(f"{dst}/ln_2", sd, f"{src}.ln_2")
+        self.attn(f"{dst}/attn", sd, f"{src}.attn")
+        self.param(f"{dst}/mlp_fc/kernel", dense_kernel(sd[f"{src}.mlp.c_fc.weight"]))
+        self.param(f"{dst}/mlp_fc/bias", _np(sd[f"{src}.mlp.c_fc.bias"]))
+        self.param(f"{dst}/mlp_proj/kernel", dense_kernel(sd[f"{src}.mlp.c_proj.weight"]))
+        self.param(f"{dst}/mlp_proj/bias", _np(sd[f"{src}.mlp.c_proj.bias"]))
+
+    def out(self) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        return self.params, self.stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision VGG -> VGGStage ("features" submodule of VGGEncoder/AutoEncoder)
+# ---------------------------------------------------------------------------
+
+
+def convert_vgg_features(
+    sd: Mapping[str, Any], use_bn: bool, prefix: str = "features"
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision ``features.*`` conv/BN weights -> VGGStage tree.
+
+    Works for the truncated configs too (the reference drops the final
+    pool; conv indices are unaffected, reference models/utils.py:27-32).
+    """
+    b = _TreeBuilder()
+    conv_keys = sorted(
+        (int(m.group(1)) for k in sd if (m := re.fullmatch(rf"{prefix}\.(\d+)\.weight", k)) and sd[k].ndim == 4),
+    )
+    for j, idx in enumerate(conv_keys):
+        b.param(f"ConvBNAct_{j}/Conv_0/kernel", conv_kernel(sd[f"{prefix}.{idx}.weight"]))
+        b.param(f"ConvBNAct_{j}/Conv_0/bias", _np(sd[f"{prefix}.{idx}.bias"]))
+        if use_bn:
+            b.bn(f"ConvBNAct_{j}/BatchNorm_0", sd, f"{prefix}.{idx + 1}")
+    return b.out()
+
+
+# ---------------------------------------------------------------------------
+# OpenAI CLIP -> ClipViT / ClipModifiedResNet / ClipTextEncoder
+# ---------------------------------------------------------------------------
+
+
+def convert_clip_vit(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``visual.*`` of a CLIP ViT checkpoint -> ClipViT (features_only)."""
+    b = _TreeBuilder()
+    b.param("conv1/kernel", conv_kernel(sd["visual.conv1.weight"]))
+    b.param("class_embedding", _np(sd["visual.class_embedding"]))
+    b.param("positional_embedding", _np(sd["visual.positional_embedding"]))
+    b.ln("ln_pre", sd, "visual.ln_pre")
+    b.ln("ln_post", sd, "visual.ln_post")
+    i = 0
+    while f"visual.transformer.resblocks.{i}.ln_1.weight" in sd:
+        b.resblock(f"resblock_{i}", sd, f"visual.transformer.resblocks.{i}")
+        i += 1
+    return b.out()
+
+
+def convert_clip_resnet(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``visual.*`` of a CLIP ModifiedResNet checkpoint (features_only)."""
+    b = _TreeBuilder()
+    for i in (1, 2, 3):
+        b.param(f"stem_conv{i}/kernel", conv_kernel(sd[f"visual.conv{i}.weight"]))
+        b.bn(f"stem_bn{i}", sd, f"visual.bn{i}")
+    for li in range(1, 5):
+        bi = 0
+        while f"visual.layer{li}.{bi}.conv1.weight" in sd:
+            src = f"visual.layer{li}.{bi}"
+            dst = f"layer{li}_{bi}"
+            for ci in (1, 2, 3):
+                b.param(f"{dst}/conv{ci}/kernel", conv_kernel(sd[f"{src}.conv{ci}.weight"]))
+                b.bn(f"{dst}/bn{ci}", sd, f"{src}.bn{ci}")
+            if f"{src}.downsample.0.weight" in sd:
+                b.param(f"{dst}/down_conv/kernel", conv_kernel(sd[f"{src}.downsample.0.weight"]))
+                b.bn(f"{dst}/down_bn", sd, f"{src}.downsample.1")
+            bi += 1
+    return b.out()
+
+
+def convert_clip_text(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    b = _TreeBuilder()
+    b.param("token_embedding/embedding", _np(sd["token_embedding.weight"]))
+    b.param("positional_embedding", _np(sd["positional_embedding"]))
+    b.ln("ln_final", sd, "ln_final")
+    b.param("text_projection", _np(sd["text_projection"]))
+    i = 0
+    while f"transformer.resblocks.{i}.ln_1.weight" in sd:
+        b.resblock(f"resblock_{i}", sd, f"transformer.resblocks.{i}")
+        i += 1
+    return b.out()
+
+
+def convert_clip_ebc(
+    sd: Mapping[str, Any], is_vit: bool
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Full CLIP checkpoint -> the pretrained subtrees of a ClipEBC model
+    (image_encoder + text_encoder + logit_scale); the decoder/projection
+    stay at their fresh initialization."""
+    img_p, img_s = (convert_clip_vit if is_vit else convert_clip_resnet)(sd)
+    txt_p, txt_s = convert_clip_text(sd)
+    params: Dict[str, Any] = {"image_encoder": img_p, "text_encoder": txt_p}
+    if "logit_scale" in sd:
+        params["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    stats: Dict[str, Any] = {}
+    if img_s:
+        stats["image_encoder"] = img_s
+    if txt_s:
+        stats["text_encoder"] = txt_s
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# torchvision ViT -> ViTEncoder (plain ViT backbones)
+# ---------------------------------------------------------------------------
+
+
+def convert_torchvision_vit(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    b = _TreeBuilder()
+    b.param("patchify/kernel", conv_kernel(sd["conv_proj.weight"]))
+    b.param("patchify/bias", _np(sd["conv_proj.bias"]))
+    b.param("class_token", _np(sd["class_token"]))
+    b.param("pos_embedding", _np(sd["encoder.pos_embedding"])[0])
+    b.ln("ln_final", sd, "encoder.ln")
+    i = 0
+    while f"encoder.layers.encoder_layer_{i}.ln_1.weight" in sd:
+        src = f"encoder.layers.encoder_layer_{i}"
+        dst = f"block_{i}"
+        b.ln(f"{dst}/ln_1", sd, f"{src}.ln_1")
+        b.ln(f"{dst}/ln_2", sd, f"{src}.ln_2")
+        b.attn(f"{dst}/attn", sd, f"{src}.self_attention")
+        b.param(f"{dst}/mlp_fc/kernel", dense_kernel(sd[f"{src}.mlp.linear_1.weight"]))
+        b.param(f"{dst}/mlp_fc/bias", _np(sd[f"{src}.mlp.linear_1.bias"]))
+        b.param(f"{dst}/mlp_proj/kernel", dense_kernel(sd[f"{src}.mlp.linear_2.weight"]))
+        b.param(f"{dst}/mlp_proj/bias", _np(sd[f"{src}.mlp.linear_2.bias"]))
+        i += 1
+    return b.params
+
+
+# ---------------------------------------------------------------------------
+# tree utilities
+# ---------------------------------------------------------------------------
+
+
+def merge_params(dst: Dict[str, Any], src: Mapping[str, Any], strict_shapes: bool = True) -> Dict[str, Any]:
+    """Recursively overlay ``src`` onto a copy of ``dst`` (a freshly
+    initialized param tree), checking shapes."""
+    out = dict(dst)
+    for k, v in src.items():
+        if isinstance(v, Mapping):
+            base = out.get(k, {})
+            if not isinstance(base, Mapping):
+                raise KeyError(f"converted subtree {k!r} does not exist in the model")
+            out[k] = merge_params(dict(base), v, strict_shapes)
+        else:
+            if k not in out:
+                raise KeyError(f"converted param {k!r} does not exist in the model")
+            if strict_shapes and tuple(np.shape(out[k])) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"shape mismatch for {k!r}: model {np.shape(out[k])} vs "
+                    f"checkpoint {np.shape(v)}"
+                )
+            out[k] = v
+    return out
