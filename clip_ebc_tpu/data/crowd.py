@@ -28,8 +28,13 @@ _STD = np.asarray(IMAGENET_STD, dtype=np.float32)
 
 
 def normalize_image(image: np.ndarray) -> np.ndarray:
-    """ImageNet-normalize a float32 [0,1] HWC image."""
-    return (image - _MEAN) / _STD
+    """ImageNet-normalize a float32 [0,1] HWC image (native kernel when
+    built, numpy otherwise)."""
+    from . import native
+
+    if native.HAVE_NATIVE:
+        return native.normalize_image(image)
+    return ((image - _MEAN) / _STD).astype(np.float32)
 
 
 def denormalize_image(image: np.ndarray) -> np.ndarray:

@@ -223,11 +223,25 @@ class TrainLoader:
             yield self._collate(items)
 
     def _collate(self, items) -> Batch:
+        from . import native
+
         images = np.concatenate([im for im, _, _ in items], axis=0)
         point_lists = [p for _, pts, _ in items for p in pts]
-        densities = np.concatenate([d for _, _, d in items], axis=0)
-        points, mask = pad_points(point_lists, self.max_points)
-        density_blocks = block_sum(densities, self.reduction)
+        points, mask = (
+            native.pad_points(point_lists, self.max_points)
+            if native.HAVE_NATIVE
+            else pad_points(point_lists, self.max_points)
+        )
+        if native.HAVE_NATIVE and getattr(self.dataset, "sigma", None) is None:
+            # Fused rasterize+block-sum straight from the point lists
+            # (identical semantics to rasterize -> block_sum; tested).
+            h, w = images.shape[1:3]
+            density_blocks = np.stack(
+                [native.rasterize_blocks(p, h, w, self.reduction) for p in point_lists]
+            )
+        else:
+            densities = np.concatenate([d for _, _, d in items], axis=0)
+            density_blocks = block_sum(densities, self.reduction)
         return Batch(
             images=images.astype(np.float32),
             points=points,

@@ -58,8 +58,11 @@ def get_backbone(
             axis_name=axis_name,
         )
     if name in _VIT_CONFIGS:
+        from .transformer import resolve_attn_impl
+
         return ViTEncoder(
-            variant=name, image_size=input_size, reduction=reduction, dtype=dtype
+            variant=name, image_size=input_size, reduction=reduction, dtype=dtype,
+            attn_impl=resolve_attn_impl("auto"),
         )
     raise ValueError(f"unknown backbone {name!r}")
 

@@ -29,6 +29,7 @@ from ..blocks import ResNetStage, resize_bilinear
 from ..heads import expectation_from_logits
 from .image_encoder import RESNET_CONFIGS, VIT_CONFIGS, ClipModifiedResNet, ClipViT
 from .prompts import bin_prompts
+from ..transformer import resolve_attn_impl
 from .text_encoder import ClipTextEncoder
 from .tokenizer import tokenize
 
@@ -75,10 +76,21 @@ class ClipEBC(nn.Module):
     decoder_cfg: Optional[Sequence[Union[int, str]]] = None
     dtype: Any = jnp.float32
     axis_name: Optional[str] = None
+    attn_backend: str = "auto"  # "auto" | "flash" | "sdpa"
+    fused_head: str = "auto"  # "auto" | "on" | "off" (Pallas head at eval)
 
     @property
     def is_vit(self) -> bool:
         return self.backbone in VIT_CONFIGS
+
+    def _use_fused_head(self) -> bool:
+        if self.fused_head == "on":
+            return True
+        if self.fused_head == "off":
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     @property
     def encoder_reduction(self) -> int:
@@ -99,6 +111,7 @@ class ClipEBC(nn.Module):
     def setup(self):
         if len(self.bins) != len(self.anchor_points):
             raise ValueError("bins and anchor_points must have equal length")
+        attn = resolve_attn_impl(self.attn_backend)
         if self.is_vit:
             self.image_encoder = ClipViT(
                 variant=self.backbone,
@@ -107,6 +120,7 @@ class ClipEBC(nn.Module):
                 deep_vpt=self.deep_vpt,
                 vpt_drop=self.vpt_drop,
                 dtype=self.dtype,
+                attn_impl=attn,
             )
         else:
             self.image_encoder = ClipModifiedResNet(
@@ -138,6 +152,7 @@ class ClipEBC(nn.Module):
             heads=heads,
             layers=12,
             dtype=self.dtype,
+            attn_impl=attn,
         )
         prompts = bin_prompts(self.bins, self.prompt_type)
         self.text_tokens = jnp.asarray(tokenize(list(prompts)))
@@ -163,6 +178,18 @@ class ClipEBC(nn.Module):
         text_feats = self.text_encoder(self.text_tokens)  # (N, D)
         if self.freeze_text_encoder:
             text_feats = jax.lax.stop_gradient(text_feats)
+
+        if not train and self._use_fused_head():
+            from ...ops.fused_head import fused_ebc_head
+
+            b, hh, ww, c = feats.shape
+            density = fused_ebc_head(
+                feats.reshape(b * hh * ww, c),
+                text_feats,
+                jnp.exp(self.logit_scale),
+                jnp.asarray(self.anchor_points, jnp.float32),
+            )
+            return density.reshape(b, hh, ww)
 
         img = feats.astype(jnp.float32)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True).clip(1e-12)
@@ -207,6 +234,7 @@ def build_clip_ebc(
     decoder_cfg=None,
     dtype: Any = jnp.float32,
     axis_name: Optional[str] = None,
+    attn_backend: str = "auto",
     **_: Any,
 ) -> ClipEBC:
     """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
@@ -233,6 +261,7 @@ def build_clip_ebc(
         decoder_cfg=decoder_cfg,
         dtype=dtype,
         axis_name=axis_name,
+        attn_backend=attn_backend,
     )
     # Attach the optimizer mask (consumed by Trainer).
     if is_vit:

@@ -23,6 +23,26 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * nn.sigmoid(1.702 * x)
 
 
+def resolve_attn_impl(backend: str):
+    """"auto" picks the Pallas flash-attention kernel on TPU and the einsum
+    path elsewhere (the kernel needs a TPU or interpret mode)."""
+    if backend == "sdpa":
+        return sdpa_attention
+    if backend == "flash":
+        from ..ops.flash_attention import flash_sdpa
+
+        return flash_sdpa
+    if backend == "auto":
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from ..ops.flash_attention import flash_sdpa
+
+            return flash_sdpa
+        return sdpa_attention
+    raise ValueError(f"attn_backend must be auto|flash|sdpa, got {backend}")
+
+
 class LayerNormF32(nn.Module):
     """LayerNorm computed in fp32, output cast back to the input dtype."""
 
