@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_id", type=int, default=0)
+    # Observability
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of the first resumed epoch")
     return p
 
 
@@ -182,9 +185,12 @@ def main(argv=None) -> None:
             strategy=args.strategy,
         )
 
+    from ..utils.profiling import trace
+
     for epoch in range(start_epoch, cfg.total_epochs + 1):
         t0 = time.time()
-        state, metrics = trainer.train_epoch(state, loader, epoch)
+        with trace(args.profile_dir, enabled=bool(args.profile_dir) and epoch == start_epoch + 1):
+            state, metrics = trainer.train_epoch(state, loader, epoch)
         logger.info(
             "epoch %d/%d (%.1fs): %s", epoch, cfg.total_epochs, time.time() - t0,
             " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),

@@ -23,9 +23,17 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * nn.sigmoid(1.702 * x)
 
 
+# Below this many tokens XLA's batched einsum attention beats the tiled
+# Pallas kernel (measured on v5e: at L=256/dh=64 the kernel's small tiles
+# under-utilize the MXU); above it, not materializing the (L, L) scores in
+# HBM wins. Shapes are static under jit, so the choice happens at trace time.
+FLASH_MIN_SEQ_LEN = 1024
+
+
 def resolve_attn_impl(backend: str):
-    """"auto" picks the Pallas flash-attention kernel on TPU and the einsum
-    path elsewhere (the kernel needs a TPU or interpret mode)."""
+    """"auto" picks, per traced shape, the Pallas flash-attention kernel on
+    TPU for long sequences and the einsum path otherwise (the kernel needs
+    a TPU or interpret mode)."""
     if backend == "sdpa":
         return sdpa_attention
     if backend == "flash":
@@ -35,11 +43,16 @@ def resolve_attn_impl(backend: str):
     if backend == "auto":
         import jax
 
-        if jax.default_backend() == "tpu":
-            from ..ops.flash_attention import flash_sdpa
+        if jax.default_backend() != "tpu":
+            return sdpa_attention
+        from ..ops.flash_attention import flash_sdpa
 
-            return flash_sdpa
-        return sdpa_attention
+        def adaptive(q, k, v, mask):
+            if q.shape[2] >= FLASH_MIN_SEQ_LEN:
+                return flash_sdpa(q, k, v, mask)
+            return sdpa_attention(q, k, v, mask)
+
+        return adaptive
     raise ValueError(f"attn_backend must be auto|flash|sdpa, got {backend}")
 
 
