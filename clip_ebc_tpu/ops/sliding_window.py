@@ -50,7 +50,9 @@ def _round_up(n: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("apply_fn", "window", "stride", "reduction", "strategy", "bucket"),
+    static_argnames=(
+        "apply_fn", "window", "stride", "reduction", "strategy", "bucket", "mesh",
+    ),
 )
 def sliding_window_predict(
     apply_fn: Callable,  # (windows[N,wh,ww,3]) -> density[N,wh/r,ww/r]
@@ -60,12 +62,22 @@ def sliding_window_predict(
     reduction: int,
     strategy: str = "average",
     bucket: int = 16,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Predict the full-image density map ((H/r, W/r)) by sliding windows."""
+    """Predict the full-image density map ((H/r, W/r)) by sliding windows.
+
+    With ``mesh``, the window batch is sharded across the mesh's 'data'
+    axis — one large image fans out over the whole pod (the TPU-native
+    sequence-scaling equivalent of the reference's host-side window loop),
+    and GSPMD gathers the per-window densities back for assembly.
+    """
     h, w, _ = image.shape
     wh, ww = window
     starts = jnp.asarray(window_grid((h, w), window, stride))
     n = starts.shape[0]
+    if mesh is not None:
+        bucket = max(bucket, mesh.shape["data"])
+        bucket = _round_up(bucket, mesh.shape["data"])
     n_pad = _round_up(n, bucket)
     starts_padded = jnp.concatenate(
         [starts, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
@@ -76,6 +88,12 @@ def sliding_window_predict(
         return jax.lax.dynamic_slice(image, (yx[0], yx[1], 0), (wh, ww, image.shape[2]))
 
     windows = jax.vmap(gather)(starts_padded)  # (n_pad, wh, ww, 3)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        windows = jax.lax.with_sharding_constraint(
+            windows, NamedSharding(mesh, P("data"))
+        )
     preds = apply_fn(windows)  # (n_pad, wh/r, ww/r)
     bh, bw = wh // reduction, ww // reduction
     if preds.shape[-2:] != (bh, bw):

@@ -37,6 +37,7 @@ class Evaluator:
         stride: Optional[int] = None,
         strategy: str = "average",
         pad_to_multiple: int = 0,
+        mesh=None,
     ) -> None:
         self.model = model
         self.reduction = reduction
@@ -45,6 +46,7 @@ class Evaluator:
         self.stride = (stride, stride) if stride else None
         self.strategy = strategy
         self.pad_to_multiple = pad_to_multiple
+        self.mesh = mesh  # shard the window batch across the pod
 
         @jax.jit
         def forward(variables, images):
@@ -74,6 +76,7 @@ class Evaluator:
                 stride=self.stride,
                 reduction=self.reduction,
                 strategy=self.strategy,
+                mesh=self.mesh,
             )
         else:
             density = self._forward(variables, image[None])[0]
