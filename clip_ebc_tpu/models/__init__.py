@@ -34,6 +34,23 @@ _VGG_NAMES = tuple(
 )
 _RESNET_AE_NAMES = tuple(f"resnet{n}_ae" for n in (18, 34, 50, 101, 152))
 
+# Custom backbone registry — the TPU-native replacement for the reference's
+# timm escape hatch (reference models/encoder/timm_models.py): any Flax
+# module factory with the backbone contract (``__call__(x, train)`` NHWC ->
+# NHWC features; ``channels``/``encoder_reduction`` attributes) can be
+# registered and used by name through get_model.
+_BACKBONE_REGISTRY = {}
+
+
+def register_backbone(name: str):
+    """Decorator: register ``factory(input_size, reduction, dtype, axis_name)``."""
+
+    def wrap(factory):
+        _BACKBONE_REGISTRY[name.lower()] = factory
+        return factory
+
+    return wrap
+
 
 def get_backbone(
     name: str,
@@ -63,6 +80,10 @@ def get_backbone(
         return ViTEncoder(
             variant=name, image_size=input_size, reduction=reduction, dtype=dtype,
             attn_impl=resolve_attn_impl("auto"),
+        )
+    if name in _BACKBONE_REGISTRY:
+        return _BACKBONE_REGISTRY[name](
+            input_size=input_size, reduction=reduction, dtype=dtype, axis_name=axis_name
         )
     raise ValueError(f"unknown backbone {name!r}")
 
@@ -111,6 +132,7 @@ def get_model(
 __all__ = [
     "get_model",
     "get_backbone",
+    "register_backbone",
     "Classifier",
     "Regressor",
     "expectation_from_logits",

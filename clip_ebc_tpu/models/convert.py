@@ -233,6 +233,37 @@ def convert_torchvision_vit(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return b.params
 
 
+def detect_clip_arch(sd: Mapping[str, Any]) -> str:
+    """Infer the CLIP backbone name from a full checkpoint's state dict —
+    the counterpart of the reference's build_model arch sniffing
+    (reference models/clip/_clip/model.py:177-214)."""
+    if "visual.conv1.weight" in sd and "visual.class_embedding" in sd:
+        w = sd["visual.conv1.weight"]
+        patch, width = int(w.shape[-1]), int(w.shape[0])
+        n_layers = len(
+            {k.split(".")[3] for k in sd if k.startswith("visual.transformer.resblocks.")}
+        )
+        if width == 1024 and patch == 14:
+            grid = int(round((int(sd["visual.positional_embedding"].shape[0]) - 1) ** 0.5))
+            return "vit_l_14_336px" if grid * 14 == 336 else "vit_l_14"
+        if width == 768 and n_layers == 12:
+            return f"vit_b_{patch}"
+        raise ValueError(f"unrecognized CLIP ViT (width={width}, patch={patch})")
+    if "visual.layer1.0.conv1.weight" in sd:
+        stem = int(sd["visual.conv1.weight"].shape[0])  # width // 2
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{i}.")})
+            for i in (1, 2, 3, 4)
+        )
+        from .clip.image_encoder import RESNET_CONFIGS
+
+        for name, (layers, width, _, _) in RESNET_CONFIGS.items():
+            if counts == layers and stem == width // 2:
+                return name
+        raise ValueError(f"unrecognized CLIP ResNet (layers={counts}, stem={stem})")
+    raise ValueError("state dict does not look like a CLIP checkpoint")
+
+
 # ---------------------------------------------------------------------------
 # tree utilities
 # ---------------------------------------------------------------------------

@@ -95,6 +95,74 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Below this sequence length the whole K/V fits comfortably in VMEM and the
+# online-softmax tiling only adds overhead; a batched single-block kernel
+# (several (batch, head) pairs per program) keeps the MXU busy instead.
+SHORT_SEQ_MAX = 512
+
+
+def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len):
+    q = q_ref[...].astype(jnp.float32)  # (bh_blk, L, dh)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    if sm_scale != 1.0:
+        s = s * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    mask = col < kv_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = jnp.logical_and(mask, col <= row)
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _flash_forward_short(
+    q, k, v, sm_scale: float, causal: bool, interpret: bool, block_bh: int = 8
+):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    lp = _round_up(max(lq, lk), 128)
+
+    def prep(x):
+        x = x.reshape(b * h, x.shape[2], dh)
+        if x.shape[1] != lp:
+            x = jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+        return x
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    bh = b * h
+    bh_p = _round_up(bh, block_bh)
+    if bh_p != bh:
+        qp = jnp.pad(qp, ((0, bh_p - bh), (0, 0), (0, 0)))
+        kp = jnp.pad(kp, ((0, bh_p - bh), (0, 0), (0, 0)))
+        vp = jnp.pad(vp, ((0, bh_p - bh), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _short_kernel, sm_scale=sm_scale, causal=causal, kv_len=lk
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh_p, lp, dh), q.dtype),
+        grid=(bh_p // block_bh,),
+        in_specs=[
+            pl.BlockSpec((block_bh, lp, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_bh, lp, dh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_bh, lp, dh), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_bh, lp, dh), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:bh, :lq].reshape(b, h, lq, dh)
+
+
 def _flash_forward(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     sm_scale: float, causal: bool, block_q: int, block_k: int, interpret: bool,
@@ -169,8 +237,11 @@ def flash_attention(
     interpret: bool = False,
 ):
     """(B, H, L, Dh) q/k/v -> (B, H, L, Dh). Unnormalized scale defaults to
-    1/sqrt(Dh)."""
+    1/sqrt(Dh). Short sequences route to the batched single-block kernel,
+    long ones to the tiled online-softmax kernel."""
     scale = q.shape[-1] ** -0.5 if sm_scale is None else sm_scale
+    if max(q.shape[2], k.shape[2]) <= SHORT_SEQ_MAX:
+        return _flash_forward_short(q, k, v, scale, causal, interpret)
     return _flash_forward(q, k, v, scale, causal, block_q, block_k, interpret)
 
 
