@@ -183,6 +183,7 @@ def main(argv=None) -> None:
             window_size=cfg.window_size,
             stride=cfg.stride,
             strategy=args.strategy,
+            mesh=trainer.mesh,  # shard window batches across the pod
         )
 
     from ..utils.profiling import trace
