@@ -17,7 +17,68 @@ import time
 A100_EST_IMGS_PER_SEC = 1200.0
 
 
+def bench_train() -> None:
+    """Secondary mode (BENCH_MODE=train): vgg19_ae 448^2 train crops/s/chip,
+    the BASELINE.md training metric."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clip_ebc_tpu.config import ExperimentConfig
+    from clip_ebc_tpu.data.loader import Batch
+    from clip_ebc_tpu.losses import make_loss_fn
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training import Trainer
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    cfg = ExperimentConfig(
+        dataset="nwpu", model="vgg19_ae", input_size=448, reduction=8,
+        truncation=4, count_loss="dmcount", batch_size=batch, amp=True,
+    ).normalize()
+    model = get_model(cfg.model, cfg.input_size, cfg.reduction, cfg.bins,
+                      cfg.bin_anchors, dtype=jnp.bfloat16)
+    trainer = Trainer(cfg, model, make_loss_fn(cfg))
+    rng = np.random.default_rng(0)
+    hw = cfg.input_size // cfg.reduction
+    pts = rng.uniform(0, cfg.input_size, (batch, 256, 2)).astype(np.float32)
+    density = np.zeros((batch, hw, hw), np.float32)
+    for i in range(batch):
+        for x, y in pts[i]:
+            density[i, int(y) // 8, int(x) // 8] += 1.0
+    b = Batch(
+        images=rng.normal(size=(batch, 448, 448, 3)).astype(np.float32),
+        points=pts,
+        point_mask=np.ones((batch, 256), bool),
+        density=density,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), b)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    state, info = trainer._step(state, b, lr)  # compile
+    float(info["loss"])
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, info = trainer._step(state, b, lr)
+        float(info["loss"])  # force real execution through the relay
+    dt = time.perf_counter() - t0
+    crops_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vgg19_ae_448_train_throughput",
+                "value": round(crops_per_sec, 2),
+                "unit": "448^2 crops/s/chip (bf16, dmcount loss)",
+                "vs_baseline": round(crops_per_sec / 200.0, 3),  # ~A100 torch AMP est.
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE") == "train":
+        bench_train()
+        return
     import jax
     import jax.numpy as jnp
 

@@ -57,6 +57,8 @@ class ClipViT(nn.Module):
     vpt_drop: float = 0.0
     dtype: Any = jnp.float32
     attn_impl: Any = sdpa_attention
+    remat: bool = False  # rematerialize each resblock (memory <-> FLOPs)
+    features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
 
     @property
     def patch_size(self) -> int:
@@ -127,8 +129,9 @@ class ClipViT(nn.Module):
             if drop is not None:
                 prompts = drop(prompts, deterministic=not train)
 
+        block_cls = nn.remat(ResidualAttentionBlock) if self.remat else ResidualAttentionBlock
         for i in range(layers):
-            block = ResidualAttentionBlock(
+            block = block_cls(
                 num_heads=heads,
                 act=quick_gelu,
                 ln_epsilon=1e-5,
@@ -153,6 +156,12 @@ class ClipViT(nn.Module):
                 x = block(x)
 
         x = LayerNormF32(1e-5, name="ln_post")(x)
+        if not self.features_only:
+            proj = self.param(
+                "proj", nn.initializers.normal(width**-0.5),
+                (width, self.clip_embed_dim), jnp.float32,
+            )
+            return x[:, 0, :] @ proj.astype(x.dtype)
         return x[:, 1:, :].reshape(b, gh, gw, width)
 
 

@@ -138,14 +138,19 @@ def convert_vgg_features(
 # ---------------------------------------------------------------------------
 
 
-def convert_clip_vit(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """``visual.*`` of a CLIP ViT checkpoint -> ClipViT (features_only)."""
+def convert_clip_vit(
+    sd: Mapping[str, Any], include_proj: bool = False
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``visual.*`` of a CLIP ViT checkpoint -> ClipViT. ``include_proj``
+    adds the pooled head's projection (features_only=False models only)."""
     b = _TreeBuilder()
     b.param("conv1/kernel", conv_kernel(sd["visual.conv1.weight"]))
     b.param("class_embedding", _np(sd["visual.class_embedding"]))
     b.param("positional_embedding", _np(sd["visual.positional_embedding"]))
     b.ln("ln_pre", sd, "visual.ln_pre")
     b.ln("ln_post", sd, "visual.ln_post")
+    if include_proj and "visual.proj" in sd:
+        b.param("proj", _np(sd["visual.proj"]))  # already (width, embed)
     i = 0
     while f"visual.transformer.resblocks.{i}.ln_1.weight" in sd:
         b.resblock(f"resblock_{i}", sd, f"visual.transformer.resblocks.{i}")
@@ -153,9 +158,17 @@ def convert_clip_vit(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, A
     return b.out()
 
 
-def convert_clip_resnet(sd: Mapping[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """``visual.*`` of a CLIP ModifiedResNet checkpoint (features_only)."""
+def convert_clip_resnet(
+    sd: Mapping[str, Any], include_attnpool: bool = False
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """``visual.*`` of a CLIP ModifiedResNet checkpoint."""
     b = _TreeBuilder()
+    if include_attnpool and "visual.attnpool.positional_embedding" in sd:
+        ap = "visual.attnpool"
+        b.param("attnpool/positional_embedding", _np(sd[f"{ap}.positional_embedding"]))
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            b.param(f"attnpool/{proj}/kernel", dense_kernel(sd[f"{ap}.{proj}.weight"]))
+            b.param(f"attnpool/{proj}/bias", _np(sd[f"{ap}.{proj}.bias"]))
     for i in (1, 2, 3):
         b.param(f"stem_conv{i}/kernel", conv_kernel(sd[f"visual.conv{i}.weight"]))
         b.bn(f"stem_bn{i}", sd, f"visual.bn{i}")

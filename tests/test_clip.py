@@ -167,3 +167,18 @@ def test_clip_vpt_training_updates_only_unfrozen():
     # trainable: VPT prompts, decoder, logit_scale move
     assert not np.array_equal(p0["image_encoder"]["vpt"], p1["image_encoder"]["vpt"])
     assert not np.allclose(p0["logit_scale"], p1["logit_scale"])
+
+
+def test_joint_clip_model():
+    from clip_ebc_tpu.models.clip import Clip
+    from clip_ebc_tpu.models.clip.tokenizer import ByteFallbackTokenizer, tokenize
+
+    model = Clip(backbone="vit_b_16", input_size=32)
+    imgs = jnp.zeros((2, 32, 32, 3))
+    toks = jnp.asarray(tokenize(["a photo", "a crowd"], tokenizer=ByteFallbackTokenizer()))
+    variables = model.init(jax.random.PRNGKey(0), imgs, toks)
+    li, lt = model.apply(variables, imgs, toks)
+    assert li.shape == (2, 2) and lt.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-5)
+    emb = model.apply(variables, imgs, method=model.encode_image)
+    assert emb.shape == (2, 512)
