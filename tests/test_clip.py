@@ -182,3 +182,13 @@ def test_joint_clip_model():
     np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-5)
     emb = model.apply(variables, imgs, method=model.encode_image)
     assert emb.shape == (2, 512)
+
+
+def test_decoder_before_upsample_variant():
+    model = get_model(
+        "clip_vit_b_16", input_size=32, reduction=8, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=2, decoder_before_upsample=True,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out.shape == (1, 4, 4)  # same output grid as the reference ordering
