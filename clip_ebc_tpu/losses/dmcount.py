@@ -76,6 +76,7 @@ def _ot_single(
         reg=cfg.reg,
         max_iters=cfg.num_iters,
         a_mask=mask,
+        return_plan=False,
     )
     beta = res.beta  # (H*W,)
 
@@ -87,12 +88,11 @@ def _ot_single(
     gradient = jax.lax.stop_gradient(grad1 - grad2)
 
     ot_i = jnp.sum(pred_density.reshape(-1) * gradient)
-    wd_i = jnp.sum(cost * res.plan)
     zero = jnp.asarray(0.0, jnp.float32)
-    return (
-        jnp.where(has_points, ot_i, zero),
-        jnp.where(has_points, wd_i, zero),
-    )
+    # The Wasserstein distance diagnostic (sum(cost * plan)) is skipped: the
+    # reference computes but never logs it, and it would materialize the
+    # full transport plan.
+    return (jnp.where(has_points, ot_i, zero), zero)
 
 
 def dmcount_loss(

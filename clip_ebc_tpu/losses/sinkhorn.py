@@ -46,6 +46,7 @@ def sinkhorn(
     stop_thr: float = 1e-9,
     eval_freq: int = 10,
     a_mask: Optional[jnp.ndarray] = None,
+    return_plan: bool = True,
 ) -> SinkhornResult:
     """Solve entropic OT between histograms ``a`` (na,) and ``b`` (nb,).
 
@@ -111,5 +112,8 @@ def sinkhorn(
 
     alpha = reg * jnp.log(u + M_EPS)
     beta = reg * jnp.log(v + M_EPS)
-    plan = u[:, None] * K * v[None, :]
+    # The (na, nb) plan is only needed for Wasserstein-distance diagnostics;
+    # the DMCount gradient uses just the dual beta. Skipping it saves a
+    # batch x P x HW materialization in the train step.
+    plan = u[:, None] * K * v[None, :] if return_plan else jnp.zeros((0, 0), jnp.float32)
     return SinkhornResult(plan=plan, u=u, v=v, alpha=alpha, beta=beta, err=err, iters=iters)
