@@ -93,13 +93,18 @@ class CheckpointManager:
         meta = self._load_meta()
         for m in METRICS:
             if m in scores:
+                # A re-run epoch (crash between eval and checkpoint save)
+                # supersedes its previous score instead of duplicating it.
+                meta["hist_scores"][m] = [
+                    x for x in meta["hist_scores"][m] if x[1] != epoch
+                ]
                 meta["hist_scores"][m].append([float(scores[m]), epoch])
 
         entered = False
         for m in METRICS:
             if m not in scores:
                 continue
-            table = [tuple(x) for x in meta["best_scores"][m]]
+            table = [tuple(x) for x in meta["best_scores"][m] if x[1] != epoch]
             table.append((float(scores[m]), epoch))
             table.sort(key=lambda se: (se[0], se[1]))
             table = table[: self.save_best_k]

@@ -67,3 +67,14 @@ def test_best_k_worse_score_not_saved(tmp_path):
     mgr.update_best({"mae": 5.0, "rmse": 5.0}, 1, {"w": jnp.zeros(2)})
     mgr.update_best({"mae": 9.0, "rmse": 9.0}, 2, {"w": jnp.zeros(2)})
     assert sorted(os.listdir(tmp_path / "ck" / "best")) == ["1"]
+
+
+def test_best_k_rerun_epoch_supersedes(tmp_path):
+    """Crash-between-eval-and-save then re-run: the epoch's score must be
+    replaced, not duplicated."""
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_best_k=3)
+    w = {"w": jnp.zeros(2)}
+    mgr.update_best({"mae": 9.0, "rmse": 9.0}, 1, w)
+    best = mgr.update_best({"mae": 7.0, "rmse": 7.0}, 1, w)  # re-run epoch 1
+    assert best["mae"] == [(7.0, 1)]
+    assert len(mgr.meta["hist_scores"]["mae"]) == 1
