@@ -86,12 +86,23 @@ class Trainer:
         (reference train.py:14-69)."""
         lr = jnp.asarray(self.schedule(epoch - 1), jnp.float32)  # epochs are 1-based
         loader.set_epoch(epoch)
-        totals: Dict[str, float] = {}
+        # Pipeline: upload batch i+1 while step i runs, and defer all metric
+        # fetches to epoch end so no step blocks on the host (per-step
+        # float() would serialize H2D, compute, and D2H).
+        infos = []
+        it = iter(loader)
+        nxt = next(it, None)
+        nxt = shard_batch(self.mesh, nxt) if nxt is not None else None
         n = 0
-        for batch in loader:
-            batch = shard_batch(self.mesh, batch)
+        while nxt is not None:
+            batch, nxt = nxt, next(it, None)
+            if nxt is not None:
+                nxt = shard_batch(self.mesh, nxt)
             state, info = self._step(state, batch, lr)
+            infos.append(info)
             n += 1
+        totals: Dict[str, float] = {}
+        for info in infos:
             for k, v in info.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
         metrics = {k: v / max(n, 1) for k, v in totals.items()}
