@@ -10,7 +10,7 @@ reference pins this path to fp32 under AMP, reference dm_loss.py:99).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

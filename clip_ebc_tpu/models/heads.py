@@ -12,12 +12,12 @@ softmax-expectation is computed in fp32 regardless of the compute dtype.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import head_dense_init, kaiming_normal_out
+from .blocks import kaiming_normal_out
 
 
 def expectation_from_logits(

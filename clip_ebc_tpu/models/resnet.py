@@ -8,7 +8,7 @@ module with the stride choice made at construction time — no surgery needed.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -14,12 +14,10 @@ synchronous, so no explicit barrier exists anywhere in this stack.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.loader import Batch
 from ..parallel.mesh import make_mesh, replicated, shard_batch
