@@ -137,17 +137,18 @@ class ResidualAttentionBlock(nn.Module):
 
 
 def interpolate_pos_embed(
-    pos_embed: jnp.ndarray, grid_hw: tuple, new_hw: tuple, method: str = "bicubic"
+    pos_embed: jnp.ndarray, grid_hw: tuple, new_hw: tuple
 ) -> jnp.ndarray:
     """Resize the patch part of a (1 + H*W, D) positional embedding to a new
-    grid, keeping the CLS slot (reference _clip/image_encoder.py:183-198)."""
-    import jax
+    grid, keeping the CLS slot (reference _clip/image_encoder.py:183-198).
+    Uses the torch-parity bicubic kernel (a=-0.75) so converted checkpoints
+    match the reference at off-size inputs."""
+    from ..ops.interpolate import torch_bicubic_resize
 
     (h, w), (nh, nw) = grid_hw, new_hw
     if (h, w) == (nh, nw):
         return pos_embed
     cls_tok, patch = pos_embed[:1], pos_embed[1:]
     d = patch.shape[-1]
-    patch = patch.reshape(h, w, d)
-    patch = jax.image.resize(patch, (nh, nw, d), method=method).astype(pos_embed.dtype)
+    patch = torch_bicubic_resize(patch.reshape(h, w, d), (nh, nw))
     return jnp.concatenate([cls_tok, patch.reshape(nh * nw, d)], axis=0)
