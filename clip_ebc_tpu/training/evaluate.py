@@ -62,7 +62,14 @@ class Evaluator:
         if pad:
             nh, nw = -(-h // pad) * pad, -(-w // pad) * pad
             if (nh, nw) != (h, w):
-                padded = np.zeros((nh, nw, image.shape[2]), image.dtype)
+                # Images here are already ImageNet-normalized: black is
+                # -mean/std per channel, not 0.
+                from ..config import IMAGENET_MEAN, IMAGENET_STD
+
+                black = -(np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD))
+                padded = np.broadcast_to(
+                    black.astype(image.dtype), (nh, nw, image.shape[2])
+                ).copy()
                 padded[:h, :w] = image
                 image = padded
         image = jnp.asarray(image)

@@ -136,3 +136,26 @@ def test_evaluator_end_to_end():
     left = np.asarray(ev_direct.predict_density(variables, img128[:, :64]))
     right = np.asarray(ev_direct.predict_density(variables, img128[:, 64:]))
     np.testing.assert_allclose(d_sw, np.concatenate([left, right], axis=1), rtol=2e-3, atol=2e-5)
+
+
+def test_evaluator_pad_to_multiple_uses_normalized_black():
+    from clip_ebc_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training.evaluate import Evaluator
+
+    bins = [(0.0, 0.0), (1.0, float("inf"))]
+    model = get_model("vgg11", input_size=64, reduction=16, bins=bins, anchor_points=[0.0, 1.5])
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=True)
+    variables = {k: v for k, v in variables.items() if k in ("params", "batch_stats")}
+    ev = Evaluator(model, reduction=16, pad_to_multiple=64)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(48, 80, 3)).astype(np.float32)
+    d = ev.predict_density(variables, img)
+    # valid-region crop: 48//16=3 x 80//16=5
+    assert d.shape == (3, 5)
+    # a black-padded (normalized-black) image equals an actually-black image
+    black = (-np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD)).astype(np.float32)
+    full_black = np.broadcast_to(black, (64, 128, 3)).copy()
+    full_black[:48, :80] = img
+    direct = np.asarray(ev._forward(variables, jnp.asarray(full_black)[None])[0])
+    np.testing.assert_allclose(np.asarray(d), direct[:3, :5], rtol=2e-3, atol=1e-4)
