@@ -55,7 +55,10 @@ def _round_up(n: int, m: int) -> int:
     ),
 )
 def sliding_window_predict(
-    apply_fn: Callable,  # (windows[N,wh,ww,3]) -> density[N,wh/r,ww/r]
+    apply_fn: Callable,  # (variables, windows[N,wh,ww,3]) -> density[N,wh/r,ww/r]
+    variables,  # model weights, passed as a traced argument (NOT closed
+    # over: closure constants would bake the full parameter set into the
+    # compiled program)
     image: jnp.ndarray,  # (H, W, 3)
     window: Tuple[int, int],
     stride: Tuple[int, int],
@@ -94,7 +97,7 @@ def sliding_window_predict(
         windows = jax.lax.with_sharding_constraint(
             windows, NamedSharding(mesh, P("data"))
         )
-    preds = apply_fn(windows)  # (n_pad, wh/r, ww/r)
+    preds = apply_fn(variables, windows)  # (n_pad, wh/r, ww/r)
     bh, bw = wh // reduction, ww // reduction
     if preds.shape[-2:] != (bh, bw):
         raise ValueError(

@@ -75,9 +75,9 @@ class Evaluator:
         image = jnp.asarray(image)
 
         if self.sliding_window:
-            apply_fn = functools.partial(self._forward, variables)
             density = sliding_window_predict(
-                apply_fn,
+                self._forward,
+                variables,
                 image,
                 window=self.window,
                 stride=self.stride,

@@ -15,7 +15,7 @@ def test_sharded_sliding_window_matches_single_device():
     mesh = make_mesh()
     assert mesh.devices.size == 8
     out_sharded = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(64, 64),
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(64, 64),
         reduction=RED, mesh=mesh,
     )
     oracle = numpy_sliding_oracle(img, (64, 64), (64, 64))
@@ -28,7 +28,7 @@ def test_sharded_sliding_window_bucket_respects_mesh():
     img = rng.uniform(0, 1, (96, 160, 3)).astype(np.float32)  # 2x3=6 windows
     mesh = make_mesh()
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(32, 48),
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(32, 48),
         reduction=RED, mesh=mesh,
     )
     oracle = numpy_sliding_oracle(img, (64, 64), (32, 48))

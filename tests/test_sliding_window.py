@@ -12,8 +12,9 @@ from clip_ebc_tpu.ops.sliding_window import (
 RED = 8
 
 
-def fake_apply(windows):
-    """Deterministic 'model': block-sum of channel 0 over reduction blocks."""
+def fake_apply(variables, windows):
+    """Deterministic 'model': block-sum of channel 0 over reduction blocks.
+    (variables unused; matches the (variables, windows) apply contract.)"""
     n, wh, ww, _ = windows.shape
     x = windows[..., 0]
     return x.reshape(n, wh // RED, RED, ww // RED, RED).sum(axis=(2, 4))
@@ -34,7 +35,7 @@ def numpy_sliding_oracle(image, window, stride, strategy="average"):
         for j in range(cols):
             y, x = min(i * sh, h - wh), min(j * sw, w - ww)
             win = image[y : y + wh, x : x + ww]
-            pred = np.asarray(fake_apply(win[None]))[0]
+            pred = np.asarray(fake_apply(None, win[None]))[0]
             ys, xs = y // RED, x // RED
             acc[ys : ys + wh // RED, xs : xs + ww // RED] += pred
             cnt[ys : ys + wh // RED, xs : xs + ww // RED] += 1
@@ -54,7 +55,7 @@ def test_sliding_matches_numpy_oracle_overlapping():
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (96, 128, 3)).astype(np.float32)
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(32, 32), reduction=RED
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(32, 32), reduction=RED
     )
     oracle = numpy_sliding_oracle(img, (64, 64), (32, 32))
     np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
@@ -64,7 +65,7 @@ def test_sliding_matches_oracle_nondivisible():
     rng = np.random.default_rng(1)
     img = rng.uniform(0, 1, (104, 88, 3)).astype(np.float32)
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(48, 48), reduction=RED
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(48, 48), reduction=RED
     )
     oracle = numpy_sliding_oracle(img, (64, 64), (48, 48))
     np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-5, atol=1e-5)
@@ -74,9 +75,9 @@ def test_sliding_window_equals_direct_when_window_is_image():
     rng = np.random.default_rng(2)
     img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
     )
-    direct = np.asarray(fake_apply(img[None]))[0]
+    direct = np.asarray(fake_apply(None, img[None]))[0]
     np.testing.assert_allclose(np.asarray(out), direct, rtol=1e-6)
 
 
@@ -84,7 +85,7 @@ def test_sliding_max_strategy():
     rng = np.random.default_rng(3)
     img = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(32, 32),
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(32, 32),
         reduction=RED, strategy="max",
     )
     oracle = numpy_sliding_oracle(img, (64, 64), (32, 32), strategy="max")
@@ -96,7 +97,7 @@ def test_count_preserved_nonoverlapping():
     rng = np.random.default_rng(4)
     img = rng.uniform(0, 1, (128, 192, 3)).astype(np.float32)
     out = sliding_window_predict(
-        fake_apply, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
+        fake_apply, None, jnp.asarray(img), window=(64, 64), stride=(64, 64), reduction=RED
     )
     np.testing.assert_allclose(float(out.sum()), float(img[..., 0].sum()), rtol=1e-4)
 
