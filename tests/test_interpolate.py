@@ -39,7 +39,7 @@ def test_pos_embed_interpolation_uses_torch_kernel():
     assert out.shape == (1 + 28 * 28, 8)
     ref = (
         F.interpolate(
-            torch.from_numpy(np.asarray(pos[1:]).reshape(14, 14, 8)).permute(2, 0, 1)[None],
+            torch.from_numpy(np.array(pos[1:]).reshape(14, 14, 8)).permute(2, 0, 1)[None],
             size=(28, 28), mode="bicubic", align_corners=False,
         )[0].permute(1, 2, 0).reshape(28 * 28, 8).numpy()
     )
