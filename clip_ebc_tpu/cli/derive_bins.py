@@ -42,10 +42,44 @@ def block_count_histogram(dataset, reduction: int) -> Counter:
     return hist
 
 
-def derive(hist: Counter, truncation: int):
-    """(bins, anchors{middle,average}) for one truncation level."""
-    bins = [[i, i] for i in range(truncation)] + [[truncation, "inf"]]
-    middle = [float(i) for i in range(truncation)] + [float(truncation)]
+def bin_structure(truncation: int, granularity: str):
+    """Bin edges for one granularity.
+
+    Structures reverse-engineered from the reference tables (verified
+    against configs/reduction_{16,32}.json):
+      fine    — singletons [0,0]..[T-1,T-1], then [T, inf]
+      dynamic — singletons up to ceil(T/2)-1, then pairs, open at the
+                first uncovered value
+      coarse  — [0,0], then pairs [1,2],[3,4].. while the pair fits
+                under T, open at the first uncovered value
+    """
+    if granularity == "fine":
+        return [[i, i] for i in range(truncation)] + [[truncation, "inf"]]
+    if granularity == "dynamic":
+        bins = [[i, i] for i in range(-(-truncation // 2))]
+        nxt = len(bins)
+        while nxt + 1 <= truncation - 1:
+            bins.append([nxt, nxt + 1])
+            nxt += 2
+        bins.append([nxt, "inf"])
+        return bins
+    if granularity == "coarse":
+        bins = [[0, 0]]
+        nxt = 1
+        while nxt + 1 <= truncation - 1:
+            bins.append([nxt, nxt + 1])
+            nxt += 2
+        bins.append([nxt, "inf"])
+        return bins
+    raise ValueError(f"granularity must be fine|dynamic|coarse, got {granularity}")
+
+
+def derive(hist: Counter, truncation: int, granularity: str = "fine"):
+    """(bins, anchors{middle,average}) for one truncation/granularity."""
+    bins = bin_structure(truncation, granularity)
+    middle = [
+        float(lo) if hi == "inf" else (lo + hi) / 2.0 for lo, hi in bins
+    ]
     average = []
     for lo, hi in bins:
         hi_v = math.inf if hi == "inf" else hi
@@ -62,6 +96,8 @@ def main(argv=None) -> None:
     p.add_argument("--data_root", default="data")
     p.add_argument("--reduction", type=int, default=8)
     p.add_argument("--truncations", type=int, nargs="+", default=[4])
+    p.add_argument("--granularities", type=str, nargs="+", default=["fine"],
+                   choices=["fine", "dynamic", "coarse"])
     p.add_argument("--out", required=True)
     p.add_argument("--disable_size_check", action="store_true")
     args = p.parse_args(argv)
@@ -78,11 +114,12 @@ def main(argv=None) -> None:
 
     table = {}
     for t in args.truncations:
-        bins, anchors = derive(hist, t)
-        table.setdefault(str(t), {})[ds_name] = {
-            "bins": {"fine": bins},
-            "anchor_points": {"fine": anchors},
-        }
+        entry = {"bins": {}, "anchor_points": {}}
+        for g in args.granularities:
+            bins, anchors = derive(hist, t, g)
+            entry["bins"][g] = bins
+            entry["anchor_points"][g] = anchors
+        table.setdefault(str(t), {})[ds_name] = entry
     out = {
         "reduction": args.reduction,
         "histogram": {str(k): v for k, v in sorted(hist.items())},
