@@ -101,11 +101,34 @@ def evaluate(
     variables,
     dataset,
     progress: bool = False,
+    prefetch: int = 2,
 ) -> Dict[str, float]:
-    """Run over a labeled dataset (num_crops=1, no transforms) and report
-    MAE/RMSE of total counts (reference eval.py:25-40)."""
+    """Run over a labeled dataset (num_crops=1, eval transforms) and report
+    MAE/RMSE of total counts (reference eval.py:25-40).
+
+    Image decode + transforms for upcoming items run on a background
+    thread (``prefetch`` deep) while the device predicts the current one.
+    """
+    import queue
+    import threading
+
     acc = CountErrorAccumulator()
-    indices = range(len(dataset))
+    n = len(dataset)
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
+
+    def producer():
+        for i in range(n):
+            try:
+                images, labels, _ = dataset[i]
+                q.put((images[0], float(len(labels[0]))))
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+                return
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    indices = range(n)
     if progress:
         try:
             from tqdm import tqdm
@@ -113,8 +136,10 @@ def evaluate(
             indices = tqdm(indices, desc="eval")
         except ImportError:
             pass
-    for i in indices:
-        images, labels, _ = dataset[i]
-        pred = evaluator.predict_count(variables, images[0])
-        acc.update(pred, float(len(labels[0])))
+    for _ in indices:
+        item = q.get()
+        if isinstance(item, Exception):
+            raise item
+        image, gt = item
+        acc.update(evaluator.predict_count(variables, image), gt)
     return acc.result()

@@ -1,0 +1,60 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clip_ebc_tpu.models import get_model
+from clip_ebc_tpu.training.evaluate import Evaluator, evaluate
+from clip_ebc_tpu.utils.metrics import count_errors
+
+
+class _StubDataset:
+    """Minimal labeled dataset: 3 images of different sizes."""
+
+    def __init__(self):
+        rng = np.random.default_rng(0)
+        self.items = []
+        for i, (h, w) in enumerate([(32, 48), (48, 32), (32, 32)]):
+            img = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+            pts = rng.uniform(0, 32, (i + 1, 2)).astype(np.float32)
+            self.items.append((img, [pts], np.zeros((1, h, w), np.float32)))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    bins = [(0.0, 0.0), (1.0, float("inf"))]
+    model = get_model("vgg11_ae", input_size=32, reduction=8, bins=bins, anchor_points=[0.0, 1.5])
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
+    return model, {k: x for k, x in v.items() if k in ("params", "batch_stats")}
+
+
+def test_evaluate_matches_manual_loop(model_and_vars):
+    model, variables = model_and_vars
+    ds = _StubDataset()
+    ev = Evaluator(model, reduction=8)
+    result = evaluate(ev, variables, ds)
+    preds = [ev.predict_count(variables, ds[i][0][0]) for i in range(len(ds))]
+    gts = [float(len(ds[i][1][0])) for i in range(len(ds))]
+    oracle = count_errors(np.asarray(preds), np.asarray(gts))
+    assert result["mae"] == pytest.approx(oracle["mae"], rel=1e-6)
+    assert result["rmse"] == pytest.approx(oracle["rmse"], rel=1e-6)
+
+
+def test_evaluate_propagates_loader_errors(model_and_vars):
+    model, variables = model_and_vars
+
+    class Broken(_StubDataset):
+        def __getitem__(self, i):
+            if i == 1:
+                raise IOError("corrupt image")
+            return super().__getitem__(i)
+
+    ev = Evaluator(model, reduction=8)
+    with pytest.raises(IOError, match="corrupt image"):
+        evaluate(ev, variables, Broken())
