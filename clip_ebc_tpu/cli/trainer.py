@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
     # Observability
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler device trace of the first resumed epoch")
+    # TPU performance knobs
+    p.add_argument("--attn_backend", type=str, default="auto", choices=["auto", "flash", "sdpa"])
+    p.add_argument("--fused_head", type=str, default="auto", choices=["auto", "on", "off"])
+    p.add_argument("--decoder_before_upsample", action="store_true",
+                   help="TPU-optimized CLIP-EBC head order (non-reference; see KNOWN_DIFFERENCES)")
     return p
 
 
@@ -138,6 +143,9 @@ def main(argv=None) -> None:
         deep_vpt=not cfg.shallow_vpt,
         vpt_drop=cfg.vpt_drop,
         dtype=dtype,
+        attn_backend=args.attn_backend,
+        fused_head=args.fused_head,
+        decoder_before_upsample=args.decoder_before_upsample,
     )
     loss_fn = make_loss_fn(cfg)
     trainer = Trainer(cfg, model, loss_fn)

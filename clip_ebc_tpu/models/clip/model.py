@@ -249,6 +249,7 @@ def build_clip_ebc(
     dtype: Any = jnp.float32,
     axis_name: Optional[str] = None,
     attn_backend: str = "auto",
+    fused_head: str = "auto",
     decoder_before_upsample: bool = False,
     **_: Any,
 ) -> ClipEBC:
@@ -277,6 +278,7 @@ def build_clip_ebc(
         dtype=dtype,
         axis_name=axis_name,
         attn_backend=attn_backend,
+        fused_head=fused_head,
         decoder_before_upsample=decoder_before_upsample,
     )
     # Attach the optimizer mask (consumed by Trainer).
