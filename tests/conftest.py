@@ -33,6 +33,13 @@ if os.environ.get(_REEXEC_FLAG) != "1":
 import numpy as np
 import pytest
 
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles
+# of full models; caching cuts repeat runs from minutes to seconds.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/clip_ebc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 @pytest.fixture
 def rng():
