@@ -185,7 +185,8 @@ class TrainLoader:
         results: dict[int, object] = {}
         results_lock = threading.Lock()
         results_ready = threading.Condition(results_lock)
-        n_items = n_batches * self.items_per_batch
+        # drop_last=False: the final batch may be short (one recompile)
+        n_items = min(n_batches * self.items_per_batch, len(indices))
         for i in range(n_items):
             work.put(i)
 
@@ -212,7 +213,9 @@ class TrainLoader:
 
         for b in range(n_batches):
             items = []
-            for i in range(b * self.items_per_batch, (b + 1) * self.items_per_batch):
+            lo = b * self.items_per_batch
+            hi = min((b + 1) * self.items_per_batch, n_items)
+            for i in range(lo, hi):
                 with results_ready:
                     while i not in results:
                         results_ready.wait()

@@ -109,3 +109,30 @@ def test_train_loader_batch_size_validation():
     ds = _FakeDataset()
     with pytest.raises(ValueError):
         TrainLoader(ds, batch_size=3, reduction=8)
+
+
+def test_train_loader_drop_last_false():
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    # 5 items at 2 items/batch -> 3 batches, the last one short (2 crops)
+    ds = _FakeDataset(n=5)
+    loader = TrainLoader(ds, batch_size=4, reduction=8, max_points=16, seed=0, drop_last=False)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert [b.images.shape[0] for b in batches] == [4, 4, 2]
+    assert all(np.isfinite(b.images).all() for b in batches)
+
+
+def test_make_eval_transforms_factory():
+    from clip_ebc_tpu.config import ExperimentConfig
+    from clip_ebc_tpu.data.loader import make_eval_transforms
+    from clip_ebc_tpu.data import transforms as T
+
+    base = dict(dataset="shb", truncation=4, input_size=224)
+    assert make_eval_transforms(ExperimentConfig(**base).normalize()) is None
+    cfg = ExperimentConfig(**base, sliding_window=True, resize_to_multiple=True).normalize()
+    assert isinstance(make_eval_transforms(cfg), T.Resize2Multiple)
+    cfg = ExperimentConfig(**base, sliding_window=True, zero_pad_to_multiple=True).normalize()
+    assert isinstance(make_eval_transforms(cfg), T.ZeroPad2Multiple)
+    cfg = ExperimentConfig(**base, sliding_window=True).normalize()
+    assert make_eval_transforms(cfg) is None
