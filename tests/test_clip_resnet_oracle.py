@@ -137,3 +137,42 @@ def test_attention_pool_parity():
     mod = AttentionPool2d(spacial_dim=hw * hw, num_heads=heads, output_dim=out_dim)
     out = mod.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-5)
+
+
+def test_contextual_module_parity():
+    """CANNet's ContextualModule vs a torch composite (adaptive avg pool,
+    sigmoid contrast gating, bottleneck; reference cannet.py:13-45).
+    Uses a divisible grid so both adaptive-pool definitions coincide."""
+    torch.manual_seed(2)
+    c, hw = 8, 12
+    sizes = [1, 2, 3, 6]
+    scales = tnn.ModuleList([tnn.Conv2d(c, c, 1, bias=False) for _ in sizes])
+    weight_net = tnn.Conv2d(c, c, 1)
+    bottleneck = tnn.Conv2d(2 * c, c, 1)
+    x = torch.randn(1, c, hw, hw)
+
+    with torch.no_grad():
+        feats, weights = [], []
+        for s, conv in zip(sizes, scales):
+            p = TF.interpolate(conv(TF.adaptive_avg_pool2d(x, s)), size=(hw, hw), mode="bilinear")
+            feats.append(p)
+            weights.append(torch.sigmoid(weight_net(x - p)))
+        fused = sum(f * w for f, w in zip(feats, weights)) / (sum(weights) + 1e-6)
+        ref = TF.relu(bottleneck(torch.cat([fused, x], dim=1)))
+
+    params = {
+        "weight_net": {"kernel": weight_net.weight.detach().numpy().transpose(2, 3, 1, 0),
+                        "bias": weight_net.bias.detach().numpy()},
+        "bottleneck": {"kernel": bottleneck.weight.detach().numpy().transpose(2, 3, 1, 0),
+                        "bias": bottleneck.bias.detach().numpy()},
+    }
+    for s, conv in zip(sizes, scales):
+        params[f"scale_{s}"] = {"kernel": conv.weight.detach().numpy().transpose(2, 3, 1, 0)}
+
+    from clip_ebc_tpu.models.csrnet import ContextualModule
+
+    mod = ContextualModule(features=c, sizes=tuple(sizes))
+    out = mod.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref.numpy(), atol=3e-5
+    )
