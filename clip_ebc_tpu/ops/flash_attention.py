@@ -53,8 +53,10 @@ def _kernel(
 
     @pl.when(run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)  # (block_q, dh)
-        k = k_ref[0, 0].astype(jnp.float32)  # (block_k, dh)
+        # bf16 operands, fp32 MXU accumulation (fp32 inputs would halve
+        # MXU throughput).
+        q = q_ref[0, 0]  # (block_q, dh)
+        k = k_ref[0, 0]  # (block_k, dh)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_q, block_k)
@@ -79,9 +81,9 @@ def _kernel(
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
-        v = v_ref[0, 0].astype(jnp.float32)  # (block_k, dh)
+        v = v_ref[0, 0]  # (block_k, dh)
         acc_scratch[...] = acc_scratch[...] * alpha[:, : acc_scratch.shape[-1]] + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(ki == num_kv_blocks - 1)
@@ -102,9 +104,11 @@ SHORT_SEQ_MAX = 512
 
 
 def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len):
-    q = q_ref[...].astype(jnp.float32)  # (bh_blk, L, dh)
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
+    # Matmuls take the native (bf16) inputs and accumulate in fp32 on the
+    # MXU — casting inputs to fp32 first would halve MXU throughput.
+    q = q_ref[...]  # (bh_blk, L, dh)
+    k = k_ref[...]
+    v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
@@ -120,7 +124,8 @@ def _short_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, causal, kv_len):
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=2, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     o_ref[...] = o.astype(o_ref.dtype)
 
