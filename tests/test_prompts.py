@@ -45,3 +45,16 @@ def test_bin_prompts_degenerate_bins():
         "There is one person.",
         "There are more than two people.",
     )
+
+
+def test_tokenize_truncation_keeps_eot():
+    from clip_ebc_tpu.models.clip.tokenizer import ByteFallbackTokenizer, tokenize
+
+    tok = ByteFallbackTokenizer()
+    long_text = "people " * 100  # >77 byte tokens
+    out = tokenize([long_text], context_length=16, tokenizer=tok)
+    assert out.shape == (1, 16)
+    assert out[0, 0] == tok.sot_token
+    assert out[0, -1] == tok.eot_token  # truncated but EOT-terminated
+    # EOT still holds the row max so argmax pooling finds it
+    assert out[0].argmax() == 15
