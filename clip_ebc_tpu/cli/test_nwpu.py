@@ -25,8 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_vpt", type=int, default=32)
     p.add_argument("--vpt_drop", type=float, default=0.0)
     p.add_argument("--shallow_vpt", action="store_true")
-    p.add_argument("--weight_path", type=str, required=True,
+    p.add_argument("--weight_path", type=str, default=None,
                    help="checkpoint dir: a best/* snapshot or a ckpt dir with latest/")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch checkpoint (.pt/.pth) to convert and load "
+                        "(e.g. a reference-trained CLIP-EBC state dict); "
+                        "applied before --weight_path if both are given")
     p.add_argument("--sliding_window", action="store_true")
     p.add_argument("--window_size", type=int, default=None)
     p.add_argument("--stride", type=int, default=None, help="defaults to window_size//2 (reference test_nwpu.py:75)")
@@ -76,24 +80,36 @@ def main(argv=None) -> None:
         jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)), train=False
     )
 
-    weight_path = os.path.abspath(args.weight_path)
-    mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
-    if os.path.isdir(os.path.join(weight_path, "latest")):
-        mgr = CheckpointManager(weight_path)
-        state_t = {"params": template["params"], "batch_stats": template.get("batch_stats", {})}
-        restored = mgr.restore_weights(os.path.join(weight_path, "latest"), {
-            "step": jnp.asarray(0), "params": state_t["params"],
-            "batch_stats": state_t["batch_stats"], "opt_state": None,
-        })
-        variables = {"params": restored["params"]}
-        if restored["batch_stats"]:
-            variables["batch_stats"] = restored["batch_stats"]
-    else:
-        # weights-only snapshot (best/*)
-        weights_t = {"params": template["params"]}
-        if "batch_stats" in template:
-            weights_t["batch_stats"] = template["batch_stats"]
-        variables = mgr.restore_weights(weight_path, weights_t)
+    if args.pretrained is None and args.weight_path is None:
+        raise SystemExit("one of --weight_path / --pretrained is required")
+    if args.pretrained:
+        from ..models.pretrained import apply_pretrained
+
+        template = apply_pretrained(model, dict(template), args.pretrained)
+        if args.weight_path is None:
+            variables = {"params": template["params"]}
+            if template.get("batch_stats"):
+                variables["batch_stats"] = template["batch_stats"]
+
+    if args.weight_path is not None:
+        weight_path = os.path.abspath(args.weight_path)
+        if os.path.isdir(os.path.join(weight_path, "latest")):
+            mgr = CheckpointManager(weight_path)
+            restored = mgr.restore_weights_from_state(
+                os.path.join(weight_path, "latest"),
+                {"params": template["params"],
+                 "batch_stats": template.get("batch_stats", {})},
+            )
+            variables = {"params": restored["params"]}
+            if restored["batch_stats"]:
+                variables["batch_stats"] = restored["batch_stats"]
+        else:
+            # weights-only snapshot (best/*)
+            mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
+            weights_t = {"params": template["params"]}
+            if "batch_stats" in template:
+                weights_t["batch_stats"] = template["batch_stats"]
+            variables = mgr.restore_weights(weight_path, weights_t)
 
     transforms = None
     if args.sliding_window and args.resize_to_multiple:

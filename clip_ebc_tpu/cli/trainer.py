@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     # TPU / paths
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="torch checkpoint (.pt/.pth) to initialize from: an "
+                        "OpenAI CLIP, torchvision VGG/ViT/ResNet, or reference "
+                        "CLIP-EBC state dict (auto-detected and converted; "
+                        "replaces the reference's download-at-import flow, "
+                        "reference models/clip/_clip/prepare.py:43-95)")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--ckpt_dir", type=str, default=None)
     p.add_argument("--max_points", type=int, default=2048, help="per-image point pad for the OT loss")
@@ -168,6 +174,27 @@ def main(argv=None) -> None:
     )
 
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), next(iter(loader)))
+    if args.pretrained:
+        from ..models.pretrained import apply_pretrained
+        from ..parallel.mesh import replicated
+
+        host_vars = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        loaded = apply_pretrained(model, host_vars, args.pretrained)
+        rep = replicated(trainer.mesh)
+
+        def _put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), tree
+            )
+
+        state = state.replace(
+            params=_put(loaded["params"]),
+            batch_stats=_put(loaded.get("batch_stats", host_vars["batch_stats"])),
+        )
+        logger.info("initialized from pretrained checkpoint %s", args.pretrained)
     ckpt = CheckpointManager(cfg.ckpt_dir, cfg.save_best_k)
     start_epoch = 1
     resumed = ckpt.restore_latest(state)

@@ -246,6 +246,230 @@ def convert_torchvision_vit(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return b.params
 
 
+# ---------------------------------------------------------------------------
+# torchvision ResNet -> ResNetEncoder (stem Conv_0/BatchNorm_0 + _TVBlock_j)
+# ---------------------------------------------------------------------------
+
+
+def convert_torchvision_resnet(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision/timm ResNet state dict -> ResNetEncoder param tree.
+
+    Replaces the reference's ``timm.create_model(..., pretrained=True)``
+    path (reference models/encoder/timm_models.py:20-39,
+    encoder_decoder/resnet.py:38-50). Stride surgery needs no weight
+    changes, so the same checkpoint serves both reduction configurations.
+    """
+    b = _TreeBuilder()
+    p = (prefix + ".") if prefix else ""
+    b.param("Conv_0/kernel", conv_kernel(sd[f"{p}conv1.weight"]))
+    b.bn("BatchNorm_0", sd, f"{p}bn1")
+    is_bottleneck = f"{p}layer1.0.conv3.weight" in sd
+    block = "_TVBottleneck" if is_bottleneck else "_TVBasicBlock"
+    n_convs = 3 if is_bottleneck else 2
+    j = 0
+    for li in (1, 2, 3, 4):
+        bi = 0
+        while f"{p}layer{li}.{bi}.conv1.weight" in sd:
+            src = f"{p}layer{li}.{bi}"
+            dst = f"{block}_{j}"
+            for ci in range(n_convs):
+                b.param(f"{dst}/Conv_{ci}/kernel", conv_kernel(sd[f"{src}.conv{ci + 1}.weight"]))
+                b.bn(f"{dst}/BatchNorm_{ci}", sd, f"{src}.bn{ci + 1}")
+            if f"{src}.downsample.0.weight" in sd:
+                b.param(
+                    f"{dst}/Conv_{n_convs}/kernel",
+                    conv_kernel(sd[f"{src}.downsample.0.weight"]),
+                )
+                b.bn(f"{dst}/BatchNorm_{n_convs}", sd, f"{src}.downsample.1")
+            j += 1
+            bi += 1
+    return b.out()
+
+
+# ---------------------------------------------------------------------------
+# reference decoder stacks (make_resnet_layers Sequential) -> ResNetStage
+# ---------------------------------------------------------------------------
+
+
+def convert_resnet_stage(
+    sd: Mapping[str, Any], prefix: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference ``make_resnet_layers`` Sequential (reference
+    models/utils.py:422-444) -> ResNetStage. Sequential indices skip the
+    param-less Upsample entries; our per-type block counter does not."""
+    b = _TreeBuilder()
+    idxs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.fullmatch(rf"{re.escape(prefix)}\.(\d+)\.conv1\.weight", k))
+    )
+    for j, i in enumerate(idxs):
+        src = f"{prefix}.{i}"
+        is_bottleneck = f"{src}.conv3.weight" in sd
+        dst = ("BottleneckBlock" if is_bottleneck else "BasicBlock") + f"_{j}"
+        n_convs = 3 if is_bottleneck else 2
+        for ci in range(n_convs):
+            b.param(
+                f"{dst}/ConvBNAct_{ci}/Conv_0/kernel",
+                conv_kernel(sd[f"{src}.conv{ci + 1}.weight"]),
+            )
+            b.bn(f"{dst}/ConvBNAct_{ci}/BatchNorm_0", sd, f"{src}.bn{ci + 1}")
+        if f"{src}.downsample.0.weight" in sd:
+            b.param(
+                f"{dst}/ConvBNAct_{n_convs}/Conv_0/kernel",
+                conv_kernel(sd[f"{src}.downsample.0.weight"]),
+            )
+            b.bn(f"{dst}/ConvBNAct_{n_convs}/BatchNorm_0", sd, f"{src}.downsample.1")
+    return b.out()
+
+
+# ---------------------------------------------------------------------------
+# full reference-trained checkpoints -> our model trees
+# ---------------------------------------------------------------------------
+
+
+def convert_reference_clip_ebc(
+    sd: Mapping[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """A *trained* reference CLIP_EBC state dict (reference
+    models/clip/model.py:40-129: image_encoder/vpt_i/image_decoder/
+    projection/text_encoder/logit_scale) -> ClipEBC params+stats."""
+    vis = {
+        "visual." + k[len("image_encoder.") :]: v
+        for k, v in sd.items()
+        if k.startswith("image_encoder.")
+    }
+    is_vit = "visual.class_embedding" in vis
+    img_p, img_s = (convert_clip_vit if is_vit else convert_clip_resnet)(vis)
+
+    vpt_idxs = sorted(
+        int(m.group(1)) for k in sd if (m := re.fullmatch(r"vpt_(\d+)", k))
+    )
+    if vpt_idxs:
+        if vpt_idxs != list(range(len(vpt_idxs))):
+            raise ValueError(f"non-contiguous VPT layers in checkpoint: {vpt_idxs}")
+        img_p["vpt"] = np.stack([_np(sd[f"vpt_{i}"]) for i in vpt_idxs])
+
+    txt = {
+        k[len("text_encoder.") :]: v
+        for k, v in sd.items()
+        if k.startswith("text_encoder.")
+    }
+    txt_p, txt_s = convert_clip_text(txt)
+
+    params: Dict[str, Any] = {"image_encoder": img_p, "text_encoder": txt_p}
+    stats: Dict[str, Any] = {}
+    if img_s:
+        stats["image_encoder"] = img_s
+    if txt_s:
+        stats["text_encoder"] = txt_s
+
+    dec_p, dec_s = convert_resnet_stage(sd, "image_decoder")
+    if dec_p:
+        params["image_decoder"] = dec_p
+    if dec_s:
+        stats["image_decoder"] = dec_s
+    if "projection.weight" in sd:
+        params["projection"] = {
+            "kernel": conv_kernel(sd["projection.weight"]),
+            "bias": _np(sd["projection.bias"]),
+        }
+    if "logit_scale" in sd:
+        params["logit_scale"] = _np(sd["logit_scale"]).reshape(())
+    return params, stats
+
+
+def convert_reference_classifier(
+    sd: Mapping[str, Any]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """A *trained* reference Classifier/Regressor over a VGG(-AE) backbone
+    (reference models/model.py:17-75, encoder_decoder/vgg.py:13-41) ->
+    our Classifier/Regressor tree."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    bb_params: Dict[str, Any] = {}
+    bb_stats: Dict[str, Any] = {}
+    if any(k.startswith("backbone.features.") for k in sd):
+        use_bn = any(
+            re.fullmatch(r"backbone\.features\.\d+\.running_mean", k) for k in sd
+        )
+        f_p, f_s = convert_vgg_features(sd, use_bn, prefix="backbone.features")
+        bb_params["features"] = f_p
+        if f_s:
+            bb_stats["features"] = f_s
+    else:
+        raise ValueError(
+            "unsupported reference backbone: only VGG features.* checkpoints "
+            "are convertible (got keys like "
+            f"{sorted(sd)[:3]})"
+        )
+    # reg_layer Sequential: convs at indices 0 and 2 -> reg0/reg1
+    for j, i in enumerate(
+        sorted(
+            int(m.group(1))
+            for k in sd
+            if (m := re.fullmatch(r"backbone\.reg_layer\.(\d+)\.weight", k))
+        )
+    ):
+        bb_params[f"reg{j}"] = {
+            "Conv_0": {
+                "kernel": conv_kernel(sd[f"backbone.reg_layer.{i}.weight"]),
+                "bias": _np(sd[f"backbone.reg_layer.{i}.bias"]),
+            }
+        }
+    params["backbone"] = bb_params
+    if bb_stats:
+        stats["backbone"] = bb_stats
+
+    if "classifier.weight" in sd:  # single 1x1 conv head (channels <= 512)
+        params["cls_out"] = {
+            "kernel": conv_kernel(sd["classifier.weight"]),
+            "bias": _np(sd["classifier.bias"]),
+        }
+    elif "classifier.0.weight" in sd:  # 512-bottleneck head
+        params["cls_hidden"] = {
+            "kernel": conv_kernel(sd["classifier.0.weight"]),
+            "bias": _np(sd["classifier.0.bias"]),
+        }
+        params["cls_out"] = {
+            "kernel": conv_kernel(sd["classifier.2.weight"]),
+            "bias": _np(sd["classifier.2.bias"]),
+        }
+    elif "regressor.0.weight" in sd:
+        params["Conv_0"] = {
+            "kernel": conv_kernel(sd["regressor.0.weight"]),
+            "bias": _np(sd["regressor.0.bias"]),
+        }
+    return params, stats
+
+
+def detect_checkpoint_kind(sd: Mapping[str, Any]) -> str:
+    """Classify a torch state dict into one of the convertible families."""
+    keys = set(sd)
+    if any(k.startswith("visual.") for k in keys):
+        return "clip"
+    if any(k.startswith("image_encoder.") for k in keys) and any(
+        k.startswith("text_encoder.") for k in keys
+    ):
+        return "reference_clip_ebc"
+    if any(k.startswith("backbone.") for k in keys):
+        return "reference_classifier"
+    if "conv_proj.weight" in keys:
+        return "torchvision_vit"
+    if "conv1.weight" in keys and "layer1.0.conv1.weight" in keys:
+        return "torchvision_resnet"
+    if any(re.fullmatch(r"features\.\d+\.weight", k) for k in keys):
+        return "torchvision_vgg"
+    raise ValueError(
+        "unrecognized checkpoint family; expected an OpenAI CLIP, "
+        "torchvision VGG/ViT/ResNet, or reference CLIP-EBC/Classifier "
+        f"state dict (sample keys: {sorted(keys)[:5]})"
+    )
+
+
 def detect_clip_arch(sd: Mapping[str, Any]) -> str:
     """Infer the CLIP backbone name from a full checkpoint's state dict —
     the counterpart of the reference's build_model arch sniffing

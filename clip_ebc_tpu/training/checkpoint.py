@@ -142,6 +142,30 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, weights_template)
         return self._ckptr.restore(path, abstract)
 
+    def restore_weights_from_state(self, path: str, weights_template):
+        """Restore only params/batch_stats out of a full train-state
+        checkpoint (``latest/``). Template-free on the optimizer side — the
+        caller (e.g. the NWPU driver, reference test_nwpu.py:55-68) doesn't
+        know the optimizer tree. Shapes are checked against the template."""
+        raw = self._ckptr.restore(path)  # serialized nested dict
+        out = {}
+        for key, template in weights_template.items():
+            if key not in raw:
+                raise KeyError(f"checkpoint at {path} has no {key!r} tree")
+            restored = raw[key]
+
+            def check(t, r, _key=key):
+                if getattr(t, "shape", None) != getattr(r, "shape", None):
+                    raise ValueError(
+                        f"shape mismatch in {_key}: template "
+                        f"{getattr(t, 'shape', None)} vs checkpoint "
+                        f"{getattr(r, 'shape', None)}"
+                    )
+                return r
+
+            out[key] = jax.tree_util.tree_map(check, template, restored)
+        return out
+
     @property
     def meta(self) -> Dict[str, Any]:
         return self._load_meta()
