@@ -168,7 +168,20 @@ class ClipEBC(nn.Module):
             lambda k: jnp.asarray(math.log(1 / 0.07), jnp.float32),
         )
 
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def encode_text(self) -> jnp.ndarray:
+        """Prompt features (N, D). The reference precomputes these once for
+        a frozen text tower (reference models/clip/model.py:127-129); the
+        trainer/evaluator call this once and pass the result into
+        ``__call__`` via ``text_feats`` so the 12-layer text encoder never
+        runs inside the hot step."""
+        return self.text_encoder(self.text_tokens)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        text_feats: Optional[jnp.ndarray] = None,
+    ):
         feats = self.image_encoder(x, train)
         if self.freeze_image_encoder:
             # VPT: only the prompt tokens train; gradients to the frozen ViT
@@ -189,7 +202,8 @@ class ClipEBC(nn.Module):
             if self.projection is not None:
                 feats = self.projection(feats)
 
-        text_feats = self.text_encoder(self.text_tokens)  # (N, D)
+        if text_feats is None:
+            text_feats = self.text_encoder(self.text_tokens)  # (N, D)
         if self.freeze_text_encoder:
             text_feats = jax.lax.stop_gradient(text_feats)
 

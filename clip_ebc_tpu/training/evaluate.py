@@ -55,6 +55,35 @@ class Evaluator:
 
         self._forward = forward
 
+        # Text-feature hoist: at eval the prompt features are constant per
+        # weight set, so encode them once per `variables` instead of running
+        # the text tower inside every (window-batch) forward.
+        self._hoist_text = hasattr(type(model), "encode_text")
+        if self._hoist_text:
+            self._encode_text = jax.jit(
+                lambda v: model.apply(v, method="encode_text")
+            )
+
+            @jax.jit
+            def forward_tf(variables, images, text_feats):
+                out = model.apply(variables, images, train=False, text_feats=text_feats)
+                return out.astype(jnp.float32)
+
+            self._forward_tf = forward_tf
+            self._text_for = None  # identity of the variables the cache is for
+            self._text_feats = None
+
+    def _forward_fn(self, variables):
+        """The (variables, images) -> density fn to use, with hoisted text
+        features bound when the model supports them."""
+        if not self._hoist_text:
+            return self._forward
+        if self._text_for is not variables:
+            self._text_feats = self._encode_text(variables)
+            self._text_for = variables
+        feats = self._text_feats
+        return lambda v, images: self._forward_tf(v, images, feats)
+
     def predict_density(self, variables, image: np.ndarray) -> jnp.ndarray:
         """(H, W, 3) -> (H/r, W/r) density map."""
         h, w = image.shape[:2]
@@ -74,9 +103,10 @@ class Evaluator:
                 image = padded
         image = jnp.asarray(image)
 
+        forward = self._forward_fn(variables)
         if self.sliding_window:
             density = sliding_window_predict(
-                self._forward,
+                forward,
                 variables,
                 image,
                 window=self.window,
@@ -86,7 +116,7 @@ class Evaluator:
                 mesh=self.mesh,
             )
         else:
-            density = self._forward(variables, image[None])[0]
+            density = forward(variables, image[None])[0]
 
         if pad:
             density = density[: h // self.reduction, : w // self.reduction]

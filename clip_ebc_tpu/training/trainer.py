@@ -25,19 +25,39 @@ from .optim import make_optimizer, make_schedule
 from .state import TrainState
 
 
-def make_train_step(model, loss_fn) -> Callable:
-    """Build the pure train step: (state, batch, lr) -> (state, metrics)."""
+def _stop_frozen(params, frozen_predicate):
+    """stop_gradient on frozen subtrees so XLA prunes their entire backward
+    pass — the functional analog of the reference's requires_grad=False
+    compute skip. The optimizer mask alone (optim.py) zeroes the *updates*
+    but still pays for the gradients."""
 
-    def train_step(state: TrainState, batch: Batch, lr: jnp.ndarray):
+    def mask(path, leaf):
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        return jax.lax.stop_gradient(leaf) if frozen_predicate(keys) else leaf
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def make_train_step(model, loss_fn) -> Callable:
+    """Build the pure train step: (state, batch, lr[, text_feats]) ->
+    (state, metrics). ``text_feats`` carries hoisted frozen prompt features
+    (see ClipEBC.encode_text)."""
+    frozen = getattr(model, "frozen_param_predicate", None)
+
+    def train_step(state: TrainState, batch: Batch, lr: jnp.ndarray, text_feats=None):
         def compute_loss(params):
+            if frozen is not None:
+                params = _stop_frozen(params, frozen)
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            kwargs = {} if text_feats is None else {"text_feats": text_feats}
             out = model.apply(
                 variables,
                 batch.images,
                 train=True,
                 mutable=["batch_stats"] if state.batch_stats else [],
+                **kwargs,
             )
             (logits, pred_density), mutated = out
             loss, info = loss_fn(logits, pred_density, batch)
@@ -65,6 +85,26 @@ class Trainer:
         frozen = getattr(model, "frozen_param_predicate", None)
         self.tx = make_optimizer(weight_decay=cfg.weight_decay, frozen_predicate=frozen)
         self._step = jax.jit(make_train_step(model, loss_fn), donate_argnums=(0,))
+        # Hoist frozen text features out of the per-step computation
+        # (reference precompute at models/clip/model.py:127-129).
+        self._hoist_text = bool(
+            getattr(model, "freeze_text_encoder", False)
+            and hasattr(type(model), "encode_text")
+        )
+        if self._hoist_text:
+            self._encode_text = jax.jit(
+                lambda variables: model.apply(variables, method="encode_text")
+            )
+
+    def text_features(self, state: TrainState):
+        """Frozen prompt features for the current params (None if the model
+        has no frozen text tower)."""
+        if not self._hoist_text:
+            return None
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return self._encode_text(variables)
 
     def init_state(self, rng_key, sample_batch: Batch) -> TrainState:
         variables = self.model.init(
@@ -83,6 +123,7 @@ class Trainer:
         """One epoch over the loader; returns averaged loss metrics
         (reference train.py:14-69)."""
         lr = jnp.asarray(self.schedule(epoch - 1), jnp.float32)  # epochs are 1-based
+        text_feats = self.text_features(state)  # once per epoch, not per step
         loader.set_epoch(epoch)
         # Pipeline: upload batch i+1 while step i runs, and defer all metric
         # fetches to epoch end so no step blocks on the host (per-step
@@ -96,7 +137,7 @@ class Trainer:
             batch, nxt = nxt, next(it, None)
             if nxt is not None:
                 nxt = shard_batch(self.mesh, nxt)
-            state, info = self._step(state, batch, lr)
+            state, info = self._step(state, batch, lr, text_feats)
             infos.append(info)
             n += 1
         totals: Dict[str, float] = {}

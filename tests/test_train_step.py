@@ -128,3 +128,98 @@ def test_schedule_drives_lr():
     trainer = Trainer(cfg, model, make_loss_fn(cfg))
     assert trainer.schedule(0) == pytest.approx(cfg.warmup_lr)
     assert trainer.schedule(2) == pytest.approx(cfg.lr)
+
+
+def test_clip_vpt_frozen_trunk_and_text_hoist(rng):
+    """VPT flagship semantics: the frozen ViT trunk and text tower must not
+    move, the prompts/decoder/head must train, and the hoisted text
+    features (ClipEBC.encode_text) must be forward-equivalent to the
+    inline text tower."""
+    cfg = tiny_cfg(model="clip_vit_b_16")
+    model = get_model(
+        cfg.model, cfg.input_size, cfg.reduction, cfg.bins, cfg.bin_anchors,
+        num_vpt=2,
+    )
+    trainer = Trainer(cfg, model, make_loss_fn(cfg), make_mesh())
+    batch = synthetic_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    feats = model.apply(variables, method="encode_text")
+    d_inline = model.apply(variables, jnp.asarray(batch.images[:2]), train=False)
+    d_hoisted = model.apply(
+        variables, jnp.asarray(batch.images[:2]), train=False, text_feats=feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_inline), np.asarray(d_hoisted), atol=1e-6
+    )
+
+    def snap(tree, *path):
+        node = tree
+        for k in path:
+            node = node[k]
+        return np.asarray(jax.device_get(node))
+
+    trunk_before = snap(state.params, "image_encoder", "resblock_0", "mlp_fc", "kernel")
+    text_before = snap(state.params, "text_encoder", "resblock_0", "mlp_fc", "kernel")
+    vpt_before = snap(state.params, "image_encoder", "vpt")
+
+    state, metrics = trainer.train_epoch(state, _OneBatchLoader(batch, 2), epoch=1)
+    assert np.isfinite(metrics["loss"])
+
+    np.testing.assert_array_equal(
+        snap(state.params, "image_encoder", "resblock_0", "mlp_fc", "kernel"),
+        trunk_before,
+    )
+    np.testing.assert_array_equal(
+        snap(state.params, "text_encoder", "resblock_0", "mlp_fc", "kernel"),
+        text_before,
+    )
+    assert np.abs(snap(state.params, "image_encoder", "vpt") - vpt_before).max() > 0
+
+
+def test_stop_frozen_preserves_trainable_grads(rng):
+    """Pruning frozen subtrees with stop_gradient must leave the gradients
+    of the trainable parameters bit-unchanged (it only removes dead work)."""
+    from clip_ebc_tpu.models.clip.model import _vpt_frozen_predicate
+    from clip_ebc_tpu.training.trainer import _stop_frozen
+
+    cfg = tiny_cfg(model="clip_vit_b_16")
+    model = get_model(
+        cfg.model, cfg.input_size, cfg.reduction, cfg.bins, cfg.bin_anchors,
+        num_vpt=2,
+    )
+    loss_fn = make_loss_fn(cfg)
+    batch = synthetic_batch(rng, b=2)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(batch.images[:1]), train=True)
+    params = variables["params"]
+
+    def loss_of(p, prune):
+        if prune:
+            p = _stop_frozen(p, _vpt_frozen_predicate)
+        (logits, density), _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(batch.images), train=True, mutable=["batch_stats"],
+        )
+        loss, _ = loss_fn(logits, density, batch)
+        return loss
+
+    g_full = jax.grad(lambda p: loss_of(p, False))(params)
+    g_pruned = jax.grad(lambda p: loss_of(p, True))(params)
+
+    flat_full = jax.tree_util.tree_flatten_with_path(g_full)[0]
+    flat_pruned = dict(jax.tree_util.tree_flatten_with_path(g_pruned)[0])
+    checked_frozen = checked_train = 0
+    for path, g in flat_full:
+        keys = tuple(getattr(k, "key", str(k)) for k in path)
+        gp = np.asarray(flat_pruned[path])
+        if _vpt_frozen_predicate(keys):
+            assert np.all(gp == 0), keys
+            checked_frozen += 1
+        else:
+            np.testing.assert_allclose(gp, np.asarray(g), atol=1e-6, err_msg=str(keys))
+            checked_train += 1
+    assert checked_frozen > 0 and checked_train > 0
