@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", type=str, default="average", choices=["average", "max"])
     p.add_argument("--resize_to_multiple", action="store_true")
     p.add_argument("--zero_pad_to_multiple", action="store_true")
+    p.add_argument("--pad_to_multiple", type=int, default=0,
+                   help="zero-pad images up to this multiple to bucket eval "
+                        "shapes (bounds XLA recompiles on NWPU's ~2000 sizes); "
+                        "0 disables")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--result_dir", type=str, default="nwpu_test_results")
     p.add_argument("--amp", action="store_true")
@@ -125,6 +129,7 @@ def main(argv=None) -> None:
         model, reduction=args.reduction,
         sliding_window=args.sliding_window, window_size=args.window_size,
         stride=args.stride, strategy=args.strategy,
+        pad_to_multiple=args.pad_to_multiple,
     )
 
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))

@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strategy", type=str, default="average", choices=["average", "max"])
     p.add_argument("--resize_to_multiple", action="store_true")
     p.add_argument("--zero_pad_to_multiple", action="store_true")
+    p.add_argument("--pad_to_multiple", type=int, default=0,
+                   help="zero-pad eval images up to this multiple so full-image "
+                        "eval compiles one XLA program per size *bucket* instead "
+                        "of per distinct size (e.g. 256 keeps NWPU-val to a "
+                        "handful of programs); 0 disables")
     # Loss
     p.add_argument("--weight_count_loss", type=float, default=1.0)
     p.add_argument("--count_loss", type=str, default="mae", choices=["mae", "mse", "dmcount"])
@@ -218,6 +223,7 @@ def main(argv=None) -> None:
             window_size=cfg.window_size,
             stride=cfg.stride,
             strategy=args.strategy,
+            pad_to_multiple=args.pad_to_multiple,
             mesh=trainer.mesh,  # shard window batches across the pod
         )
 

@@ -17,6 +17,7 @@ TPU-first differences from the reference's torch DataLoader stack
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from dataclasses import dataclass
@@ -150,9 +151,16 @@ class TrainLoader:
         self.num_hosts = num_hosts
         self.drop_last = drop_last
         self.epoch = 0
+        # OT point-pad truncation accounting (KNOWN_DIFFERENCES #4): the
+        # reference's OT consumes every GT point (reference dm_loss.py:48);
+        # ours pads to max_points and silently dropping more would skew the
+        # OT term without any signal. Count and warn once per epoch.
+        self.dropped_points = 0
+        self._warned_epoch: Optional[int] = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        self.dropped_points = 0
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_hosts
@@ -230,6 +238,18 @@ class TrainLoader:
 
         images = np.concatenate([im for im, _, _ in items], axis=0)
         point_lists = [p for _, pts, _ in items for p in pts]
+        dropped = sum(max(0, len(p) - self.max_points) for p in point_lists)
+        if dropped:
+            self.dropped_points += dropped
+            if self._warned_epoch != self.epoch:
+                self._warned_epoch = self.epoch
+                logging.getLogger("clip_ebc_tpu").warning(
+                    "OT point pad truncation: %d point(s) beyond max_points=%d "
+                    "dropped in a batch (epoch %d). Count/CE supervision is "
+                    "unaffected, but the OT term ignores the dropped points — "
+                    "raise --max_points to cover the densest crops.",
+                    dropped, self.max_points, self.epoch,
+                )
         points, mask = (
             native.pad_points(point_lists, self.max_points)
             if native.HAVE_NATIVE

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from .csrnet import CSRNet
 from .heads import Classifier, Regressor, expectation_from_logits
-from .resnet import ResNetAutoEncoder, ResNetEncoder
+from .resnet import PlainResNetBackbone, ResNetAutoEncoder, ResNetEncoder
 from .vgg import VGGAutoEncoder, VGGEncoder, make_vgg
 from .vit import ViTEncoder, _VIT_CONFIGS
 
@@ -33,6 +33,7 @@ _VGG_NAMES = tuple(
     f"vgg{n}{bn}{ae}" for n in (11, 13, 16, 19) for bn in ("", "_bn") for ae in ("", "_ae")
 )
 _RESNET_AE_NAMES = tuple(f"resnet{n}_ae" for n in (18, 34, 50, 101, 152))
+_RESNET_NAMES = tuple(f"resnet{n}" for n in (18, 34, 50, 101, 152))
 
 # Custom backbone registry — the TPU-native replacement for the reference's
 # timm escape hatch (reference models/encoder/timm_models.py): any Flax
@@ -65,6 +66,10 @@ def get_backbone(
     if name in _RESNET_AE_NAMES:
         return ResNetAutoEncoder(
             variant=name[: -len("_ae")], reduction=reduction, dtype=dtype, axis_name=axis_name
+        )
+    if name in _RESNET_NAMES:
+        return PlainResNetBackbone(
+            variant=name, reduction=reduction, dtype=dtype, axis_name=axis_name
         )
     if name in ("csrnet", "csrnet_bn", "cannet", "cannet_bn"):
         return CSRNet(
@@ -140,6 +145,7 @@ __all__ = [
     "VGGAutoEncoder",
     "ResNetEncoder",
     "ResNetAutoEncoder",
+    "PlainResNetBackbone",
     "CSRNet",
     "ViTEncoder",
     "CLIP_BACKBONES",

@@ -150,19 +150,26 @@ def apply_pretrained(
     (``{"params": ..., "batch_stats": ...}``); returns new variables.
     Shapes are strictly checked by ``merge_params``."""
     sd = _as_state_dict(checkpoint)
+    kind = C.detect_checkpoint_kind(sd)
+    if kind in ("clip", "reference_clip_ebc"):
+        from .clip.tokenizer import ByteFallbackTokenizer, get_tokenizer
+
+        if isinstance(get_tokenizer(), ByteFallbackTokenizer):
+            logger.warning(
+                "Loading converted CLIP text-tower weights while the BPE "
+                "vocab is ABSENT: prompts are byte-fallback tokenized, which "
+                "is incompatible with pretrained text embeddings — text "
+                "features will be garbage. Set $CLIP_BPE_VOCAB to "
+                "bpe_simple_vocab_16e6.txt.gz (ships with OpenAI CLIP)."
+            )
     p_over, s_over = convert_for_model(model, sd, variables)
     out: Dict[str, Any] = dict(variables)
     out["params"] = C.merge_params(dict(variables["params"]), p_over)
     if s_over:
         stats = variables.get("batch_stats") or {}
         out["batch_stats"] = C.merge_params(dict(stats), s_over)
-    n = sum(
-        np.size(x) for x in _leaves(p_over)
-    )
-    logger.info(
-        "loaded pretrained %s checkpoint: %d params overlaid",
-        C.detect_checkpoint_kind(sd), n,
-    )
+    n = sum(np.size(x) for x in _leaves(p_over))
+    logger.info("loaded pretrained %s checkpoint: %d params overlaid", kind, n)
     return out
 
 

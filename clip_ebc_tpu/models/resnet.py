@@ -113,6 +113,41 @@ class ResNetEncoder(nn.Module):
         return x
 
 
+class PlainResNetBackbone(nn.Module):
+    """Plain (non-AE) ResNet Classifier/Regressor backbone: encoder +
+    bilinear rescale to the requested reduction — the native equivalent of
+    the reference's timm escape hatch with stride surgery
+    (reference models/encoder/timm_models.py:20-54)."""
+
+    variant: str = "resnet50"
+    reduction: int = 32
+    dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @property
+    def channels(self) -> int:
+        _, kind = _LAYERS[self.variant]
+        return 512 * (4 if kind == "bottleneck" else 1)
+
+    @property
+    def encoder_reduction(self) -> int:
+        return 16 if self.reduction <= 16 else 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        enc = ResNetEncoder(
+            variant=self.variant,
+            layer4_stride=1 if self.reduction <= 16 else 2,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+            name="encoder",
+        )
+        x = enc(x, train)
+        if self.encoder_reduction != self.reduction:
+            x = resize_bilinear(x, self.encoder_reduction / self.reduction)
+        return x
+
+
 class ResNetAutoEncoder(nn.Module):
     """ResNet encoder + residual decoder (reference encoder_decoder/resnet.py:29-76)."""
 

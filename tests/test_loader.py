@@ -136,3 +136,36 @@ def test_make_eval_transforms_factory():
     assert isinstance(make_eval_transforms(cfg), T.ZeroPad2Multiple)
     cfg = ExperimentConfig(**base, sliding_window=True).normalize()
     assert make_eval_transforms(cfg) is None
+
+
+def test_ot_point_truncation_warns_and_counts(caplog):
+    """Silent OT point truncation is surfaced (KNOWN_DIFFERENCES #4 vs the
+    reference's uncapped dm_loss.py:48)."""
+    import logging
+
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    class _DS:
+        num_crops = 1
+        sigma = None
+
+        def __len__(self):
+            return 1
+
+    loader = TrainLoader(_DS(), batch_size=1, reduction=8, max_points=4)
+    loader.set_epoch(1)
+    im = np.zeros((1, 16, 16, 3), np.float32)
+    dens = np.zeros((1, 16, 16), np.float32)
+    pts_over = np.random.default_rng(0).uniform(0, 16, (7, 2)).astype(np.float32)
+    with caplog.at_level(logging.WARNING, logger="clip_ebc_tpu"):
+        batch = loader._collate([(im, [pts_over], dens)])
+    assert loader.dropped_points == 3
+    assert batch.point_mask.sum() == 4
+    assert any("truncation" in r.message for r in caplog.records)
+    # once per epoch: a second offending batch does not re-log
+    with caplog.at_level(logging.WARNING, logger="clip_ebc_tpu"):
+        n_before = len([r for r in caplog.records if "truncation" in r.message])
+        loader._collate([(im, [pts_over], dens)])
+        n_after = len([r for r in caplog.records if "truncation" in r.message])
+    assert n_after == n_before
+    assert loader.dropped_points == 6

@@ -62,3 +62,27 @@ def test_detect_clip_arch_resnet():
 def test_detect_clip_arch_rejects_garbage():
     with pytest.raises(ValueError):
         detect_clip_arch({"foo": torch.zeros(1)})
+
+
+def test_plain_resnet_backbones_by_name():
+    """Plain (non-AE) ResNets route through get_backbone with the
+    stride-1-layer4 rule (reference models/encoder/timm_models.py:20-39)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_ebc_tpu.models import get_model
+
+    bins = [(0.0, 0.0), (1.0, float("inf"))]
+    anchors = [0.0, 2.0]
+    m8 = get_model("resnet18", 64, 8, bins=bins, anchor_points=anchors)
+    v = m8.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = m8.apply(v, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 8, 8)  # encoder at 16 (stride-1 layer4), up to 8
+
+    m32 = get_model("resnet18", 64, 32, bins=bins, anchor_points=anchors)
+    v32 = m32.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out32 = m32.apply(v32, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out32.shape == (1, 2, 2)
+
+    # torchvision checkpoints land under backbone/encoder like the AE path
+    assert "encoder" in v["params"]["backbone"]
