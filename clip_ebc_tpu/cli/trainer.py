@@ -208,24 +208,25 @@ def main(argv=None) -> None:
         logger.info("resumed from %s at epoch %d", cfg.ckpt_dir, start_epoch)
 
     writer = MetricWriter(cfg.ckpt_dir) if is_host0 else None
-    val_ds = None
-    evaluator = None
-    if is_host0:
-        val_ds = CrowdDataset(
-            cfg.dataset, "val", data_root=cfg.data_root,
-            transforms=make_eval_transforms(cfg),
-            check_sizes=not args.eval_disable_size_check,
-        )
-        evaluator = Evaluator(
-            model,
-            reduction=cfg.reduction,
-            sliding_window=cfg.sliding_window,
-            window_size=cfg.window_size,
-            stride=cfg.stride,
-            strategy=args.strategy,
-            pad_to_multiple=args.pad_to_multiple,
-            mesh=trainer.mesh,  # shard window batches across the pod
-        )
+    # Eval runs on EVERY host: the Evaluator shards window batches over the
+    # global mesh, so a single-host eval would deadlock the collective
+    # (unlike the reference's rank-0-only eval, reference trainer.py:161-179;
+    # under SPMD all processes execute the same program and host 0 logs).
+    val_ds = CrowdDataset(
+        cfg.dataset, "val", data_root=cfg.data_root,
+        transforms=make_eval_transforms(cfg),
+        check_sizes=not args.eval_disable_size_check,
+    )
+    evaluator = Evaluator(
+        model,
+        reduction=cfg.reduction,
+        sliding_window=cfg.sliding_window,
+        window_size=cfg.window_size,
+        stride=cfg.stride,
+        strategy=args.strategy,
+        pad_to_multiple=args.pad_to_multiple,
+        mesh=trainer.mesh,  # shard window batches across the pod
+    )
 
     from ..utils.profiling import trace
 
@@ -240,22 +241,22 @@ def main(argv=None) -> None:
         if writer:
             writer.write_scalars(epoch, {f"train/{k}": v for k, v in metrics.items()})
 
-        if is_host0 and epoch >= cfg.eval_start and (epoch - cfg.eval_start) % cfg.eval_freq == 0:
+        if epoch >= cfg.eval_start and (epoch - cfg.eval_start) % cfg.eval_freq == 0:
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             scores = evaluate(evaluator, variables, val_ds)
-            best = ckpt.update_best(scores, epoch, variables)
-            logger.info(
-                "eval epoch %d: mae=%.2f rmse=%.2f | best mae=%s", epoch,
-                scores["mae"], scores["rmse"],
-                [f"{s:.2f}@{e}" for s, e in best["mae"]],
-            )
-            writer.write_scalars(epoch, {f"val/{k}": v for k, v in scores.items()})
+            best = ckpt.update_best(scores, epoch, variables)  # collective
+            if is_host0:
+                logger.info(
+                    "eval epoch %d: mae=%.2f rmse=%.2f | best mae=%s", epoch,
+                    scores["mae"], scores["rmse"],
+                    [f"{s:.2f}@{e}" for s, e in best["mae"]],
+                )
+                writer.write_scalars(epoch, {f"val/{k}": v for k, v in scores.items()})
 
         if epoch % cfg.save_freq == 0 or epoch == cfg.total_epochs:
-            if is_host0:
-                ckpt.save_latest(state, epoch, metrics)
+            ckpt.save_latest(state, epoch, metrics)  # collective
 
     if writer:
         writer.close()

@@ -31,6 +31,12 @@ def initialize_distributed(
     No-op for single-process runs."""
     if num_processes is None or num_processes <= 1:
         return
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU cross-process collectives need gloo (the multi-process test
+        # backend; real pods ride ICI/DCN and ignore this).
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -62,6 +68,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-side Batch onto the mesh, sharded along axis 0."""
+    """Place a host-side Batch onto the mesh, sharded along axis 0.
+
+    Single-process: a plain device_put. Multi-host: each process holds only
+    its per-host slice of the global batch (the loader shards items by
+    host, loader.py), so assemble a global array from process-local data —
+    ``device_put`` onto a global NamedSharding is single-process-only.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+    n_local = batch.images.shape[0]
+    global_batch = n_local * jax.process_count()
+
+    def put(x):
+        global_shape = (global_batch,) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(sh, np.asarray(x), global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_array(mesh: Mesh, x):
+    """Replicate a host value across the mesh; multi-host safe (every
+    process must pass the same value)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, replicated(mesh))
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(replicated(mesh), x, x.shape)

@@ -30,9 +30,23 @@ class CheckpointManager:
     def __init__(self, ckpt_dir: str, save_best_k: int = 3) -> None:
         self.dir = os.path.abspath(ckpt_dir)
         self.save_best_k = save_best_k
-        os.makedirs(self.dir, exist_ok=True)
+        # Multi-host: orbax saves are collective (every process must call
+        # them on its shards); surrounding file surgery (swaps, prunes,
+        # meta.json) is primary-only, fenced by device barriers. The
+        # reference's analog is rank-0 gating + dist.barrier
+        # (reference trainer.py:181-194, utils/log_utils.py:100-105).
+        self._primary = jax.process_index() == 0
+        if self._primary:
+            os.makedirs(self.dir, exist_ok=True)
+        self._sync("ckpt_dir_ready")
         self._ckptr = ocp.StandardCheckpointer()
         self._meta_path = os.path.join(self.dir, "meta.json")
+
+    def _sync(self, tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"clip_ebc_{tag}")
 
     # -- meta ---------------------------------------------------------------
 
@@ -48,6 +62,8 @@ class CheckpointManager:
         }
 
     def _save_meta(self, meta: Dict[str, Any]) -> None:
+        if not self._primary:
+            return
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
@@ -57,19 +73,25 @@ class CheckpointManager:
 
     def save_latest(self, state, epoch: int, loss_info: Optional[Dict[str, float]] = None) -> None:
         path = os.path.join(self.dir, "latest_new")
-        if os.path.exists(path):
+        if self._primary and os.path.exists(path):
             shutil.rmtree(path)
+        self._sync("latest_pre_save")
         self._ckptr.save(path, _savable(state))
         self._ckptr.wait_until_finished()
-        final = os.path.join(self.dir, "latest")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(path, final)
-        meta = self._load_meta()
-        meta["epoch"] = epoch
-        if loss_info:
-            meta["loss_history"].append({"epoch": epoch, **{k: float(v) for k, v in loss_info.items()}})
-        self._save_meta(meta)
+        self._sync("latest_saved")
+        if self._primary:
+            final = os.path.join(self.dir, "latest")
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(path, final)
+            meta = self._load_meta()
+            meta["epoch"] = epoch
+            if loss_info:
+                meta["loss_history"].append(
+                    {"epoch": epoch, **{k: float(v) for k, v in loss_info.items()}}
+                )
+            self._save_meta(meta)
+        self._sync("latest_done")
 
     def restore_latest(self, state_template) -> Optional[Tuple[Any, int]]:
         """Auto-resume: returns (state, next_epoch) or None if absent."""
@@ -114,19 +136,22 @@ class CheckpointManager:
 
         if entered:
             path = os.path.join(self.dir, "best", str(epoch))
-            if os.path.exists(path):
+            if self._primary and os.path.exists(path):
                 shutil.rmtree(path)
+            self._sync("best_pre_save")
             self._ckptr.save(path, weights)
             self._ckptr.wait_until_finished()
+            self._sync("best_saved")
 
-        keep = {
-            e for m in METRICS for _, e in (tuple(x) for x in meta["best_scores"][m])
-        }
-        best_root = os.path.join(self.dir, "best")
-        if os.path.isdir(best_root):
-            for name in os.listdir(best_root):
-                if name.isdigit() and int(name) not in keep:
-                    shutil.rmtree(os.path.join(best_root, name))
+        if self._primary:
+            keep = {
+                e for m in METRICS for _, e in (tuple(x) for x in meta["best_scores"][m])
+            }
+            best_root = os.path.join(self.dir, "best")
+            if os.path.isdir(best_root):
+                for name in os.listdir(best_root):
+                    if name.isdigit() and int(name) not in keep:
+                        shutil.rmtree(os.path.join(best_root, name))
 
         self._save_meta(meta)
         return {m: [tuple(x) for x in meta["best_scores"][m]] for m in METRICS}

@@ -103,6 +103,12 @@ class Evaluator:
                 image = padded
         image = jnp.asarray(image)
 
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-host: all processes run eval on the same image; a
+            # host-local numpy arg cannot feed a global-mesh computation.
+            from ..parallel.mesh import replicate_array
+
+            image = replicate_array(self.mesh, np.asarray(image))
         forward = self._forward_fn(variables)
         if self.sliding_window:
             density = sliding_window_predict(

@@ -114,8 +114,13 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         state = TrainState.create(params=params, batch_stats=batch_stats, tx=self.tx)
         # Replicate across the mesh; the batch will be sharded along 'data'.
-        rep = replicated(self.mesh)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        # Multi-host: every process computed the identical init (same seed),
+        # assembled into global replicated arrays.
+        from ..parallel.mesh import replicate_array
+
+        return jax.tree_util.tree_map(
+            lambda x: replicate_array(self.mesh, x), state
+        )
 
     def train_epoch(
         self, state: TrainState, loader, epoch: int
