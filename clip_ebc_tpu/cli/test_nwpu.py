@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--result_dir", type=str, default="nwpu_test_results")
     p.add_argument("--amp", action="store_true")
+    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                   help="W8A8 int8 inference matmuls in the CLIP ViT trunk "
+                        "(TPU MXU int8 path; no reference equivalent)")
     p.add_argument("--limit", type=int, default=None, help="process only the first N images (smoke tests)")
     p.add_argument("--disable_size_check", action="store_true")
     return p
@@ -79,6 +82,7 @@ def main(argv=None) -> None:
         args.model, args.input_size, args.reduction, bins, anchors,
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, vpt_drop=args.vpt_drop, dtype=dtype,
+        quant_int8=args.quant == "int8",
     )
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)), train=False

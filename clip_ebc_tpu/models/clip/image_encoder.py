@@ -59,6 +59,7 @@ class ClipViT(nn.Module):
     attn_impl: Any = sdpa_attention
     remat: bool = False  # rematerialize each resblock (memory <-> FLOPs)
     features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
+    quant_int8: bool = False  # W8A8 inference matmuls (ops/quant.py)
 
     @property
     def patch_size(self) -> int:
@@ -129,6 +130,9 @@ class ClipViT(nn.Module):
             if drop is not None:
                 prompts = drop(prompts, deterministic=not train)
 
+        from ..transformer import make_dense_cls
+
+        dense_cls = make_dense_cls(self.quant_int8)
         block_cls = nn.remat(ResidualAttentionBlock) if self.remat else ResidualAttentionBlock
         for i in range(layers):
             block = block_cls(
@@ -137,6 +141,7 @@ class ClipViT(nn.Module):
                 ln_epsilon=1e-5,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                dense_cls=dense_cls,
                 name=f"resblock_{i}",
             )
             if use_vpt:

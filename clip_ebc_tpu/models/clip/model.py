@@ -78,6 +78,7 @@ class ClipEBC(nn.Module):
     axis_name: Optional[str] = None
     attn_backend: str = "auto"  # "auto" | "flash" | "sdpa"
     fused_head: str = "auto"  # "auto" | "on" | "off" (Pallas head at eval)
+    quant_int8: bool = False  # W8A8 int8 inference matmuls in the ViT trunk
     # TPU-optimized variant: run the residual decoder at the encoder's
     # native grid and upsample afterwards. At reduction 8 this cuts the
     # decoder's FLOPs 4x (it costs as much as the whole ViT-B trunk when
@@ -127,6 +128,7 @@ class ClipEBC(nn.Module):
                 vpt_drop=self.vpt_drop,
                 dtype=self.dtype,
                 attn_impl=attn,
+                quant_int8=self.quant_int8,
             )
         else:
             self.image_encoder = ClipModifiedResNet(
@@ -265,6 +267,7 @@ def build_clip_ebc(
     attn_backend: str = "auto",
     fused_head: str = "auto",
     decoder_before_upsample: bool = False,
+    quant_int8: bool = False,
     **_: Any,
 ) -> ClipEBC:
     """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
@@ -294,6 +297,7 @@ def build_clip_ebc(
         attn_backend=attn_backend,
         fused_head=fused_head,
         decoder_before_upsample=decoder_before_upsample,
+        quant_int8=quant_int8,
     )
     # Attach the optimizer mask (consumed by Trainer).
     if is_vit:

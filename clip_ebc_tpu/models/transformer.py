@@ -82,6 +82,15 @@ def sdpa_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def make_dense_cls(quant_int8: bool) -> Callable:
+    """nn.Dense, or its W8A8 int8 drop-in (ops/quant.py) for inference."""
+    if not quant_int8:
+        return nn.Dense
+    from ..ops.quant import Int8Dense
+
+    return Int8Dense
+
+
 class MultiHeadAttention(nn.Module):
     """Joint-QKV multi-head attention (torch nn.MultiheadAttention layout:
     a single in-projection so converted checkpoints map 1:1)."""
@@ -89,6 +98,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     attn_impl: Callable = sdpa_attention
+    dense_cls: Callable = nn.Dense
 
     @nn.compact
     def __call__(
@@ -98,7 +108,7 @@ class MultiHeadAttention(nn.Module):
         if d % self.num_heads:
             raise ValueError(f"dim {d} not divisible by heads {self.num_heads}")
         dh = d // self.num_heads
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="in_proj")(x)
+        qkv = self.dense_cls(3 * d, dtype=self.dtype, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -106,7 +116,7 @@ class MultiHeadAttention(nn.Module):
 
         out = self.attn_impl(heads(q), heads(k), heads(v), mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
-        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+        return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -119,6 +129,7 @@ class ResidualAttentionBlock(nn.Module):
     ln_epsilon: float = 1e-5
     dtype: Any = jnp.float32
     attn_impl: Callable = sdpa_attention
+    dense_cls: Callable = nn.Dense
 
     @nn.compact
     def __call__(
@@ -127,12 +138,13 @@ class ResidualAttentionBlock(nn.Module):
         d = x.shape[-1]
         h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
         x = x + MultiHeadAttention(
-            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+            self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
+            dense_cls=self.dense_cls, name="attn",
         )(h, mask)
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
-        h = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
+        h = self.dense_cls(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
         h = self.act(h)
-        h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
+        h = self.dense_cls(d, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
 

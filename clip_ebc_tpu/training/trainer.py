@@ -81,6 +81,15 @@ class Trainer:
         self.model = model
         self.loss_fn = loss_fn
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape)
+        n_data = self.mesh.shape.get("data", 1)
+        global_batch = cfg.batch_size * jax.process_count()
+        if global_batch % n_data:
+            raise ValueError(
+                f"global train batch {global_batch} (batch_size={cfg.batch_size} "
+                f"per host x {jax.process_count()} hosts) must be divisible by "
+                f"the {n_data}-way 'data' mesh axis; adjust --batch_size or "
+                f"pass a smaller mesh"
+            )
         self.schedule = make_schedule(cfg)
         frozen = getattr(model, "frozen_param_predicate", None)
         self.tx = make_optimizer(weight_decay=cfg.weight_decay, frozen_predicate=frozen)

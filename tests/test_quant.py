@@ -1,0 +1,88 @@
+"""W8A8 int8 inference path (ops/quant.py).
+
+The reference has no quantized path (torch fp16 autocast only); this is a
+TPU-native deployment addition, so the tests check internal consistency:
+int8 matmul accuracy vs fp32, checkpoint-compatible param trees, and a
+full flagship ClipEBC forward agreeing with the bf16 path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from clip_ebc_tpu.ops.quant import Int8Dense, int8_matmul, quantize_rowwise
+
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    got = np.asarray(int8_matmul(x, w, b, out_dtype=jnp.float32))
+    ref = np.asarray(x @ w + b)
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.02, np.median(rel)
+    # Symmetric per-row/per-channel quantization keeps errors bounded.
+    assert np.max(np.abs(got - ref)) < 0.2 * np.max(np.abs(ref))
+
+
+def test_quantize_rowwise_roundtrip_bounds():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 512)) * 3.0, jnp.float32)
+    q, s = quantize_rowwise(x)
+    assert q.dtype == jnp.int8 and s.shape == (8, 1)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    # max error per element is half a quantization step = scale/2
+    assert np.all(np.abs(deq - np.asarray(x)) <= np.asarray(s) / 2 + 1e-6)
+
+
+def test_int8_dense_param_tree_matches_nn_dense():
+    """Converted torch checkpoints must load into the int8 model unchanged."""
+    x = jnp.zeros((2, 32), jnp.float32)
+    p_ref = nn.Dense(16, dtype=jnp.bfloat16).init(jax.random.PRNGKey(0), x)
+    p_q = Int8Dense(16, dtype=jnp.bfloat16).init(jax.random.PRNGKey(0), x)
+    ref_shapes = jax.tree.map(lambda a: (a.shape, a.dtype), p_ref)
+    q_shapes = jax.tree.map(lambda a: (a.shape, a.dtype), p_q)
+    assert ref_shapes == q_shapes
+
+
+def test_int8_dense_matches_fp32_dense_with_shared_params():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    params = nn.Dense(32).init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(nn.Dense(32).apply(params, x))
+    got = np.asarray(Int8Dense(32, dtype=jnp.float32).apply(params, x))
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.02
+
+
+def test_clip_ebc_quant_forward_close_to_bf16():
+    """Full flagship model: quant_int8 and plain bf16 share one param tree
+    and must produce close density maps / total counts."""
+    from clip_ebc_tpu.config import get_bins_and_anchors
+    from clip_ebc_tpu.models import get_model
+
+    bins, anchors = get_bins_and_anchors(
+        reduction=8, truncation=4, dataset="qnrf",
+        granularity="fine", anchor_points="average",
+    )
+    kw = dict(input_size=224, reduction=8, bins=bins, anchor_points=anchors,
+              num_vpt=2, dtype=jnp.bfloat16)
+    base = get_model("clip_vit_b_16", **kw)
+    quant = get_model("clip_vit_b_16", **kw, quant_int8=True)
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 224, 224, 3)), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param tree: the quant model initializes the same names/shapes
+    v_q = quant.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.map(lambda a: a.shape, variables) == jax.tree.map(lambda a: a.shape, v_q)
+
+    d_ref = np.asarray(base.apply(variables, x, train=False), np.float32)
+    d_q = np.asarray(quant.apply(variables, x, train=False), np.float32)
+    assert d_q.shape == d_ref.shape
+    c_ref, c_q = d_ref.sum(), d_q.sum()
+    # bf16 randomly-initialized nets: counts should agree within a few percent
+    assert abs(c_q - c_ref) <= 0.05 * max(abs(c_ref), 1.0), (c_ref, c_q)
+    # densities pointwise close in the same ballpark
+    assert np.median(np.abs(d_q - d_ref)) <= 0.05 * (np.abs(d_ref).max() + 1e-6)
