@@ -9,10 +9,13 @@ and XLA-compiled:
 - windows are gathered with vmapped ``dynamic_slice``;
 - the window batch is padded up to a bucket size so the model forward
   compiles once per bucket instead of once per distinct window count;
-- overlap assembly is a ``lax.scan`` of dynamic-slice adds (sum map +
-  hit-count map, then divide), or a running ``maximum`` for the "max"
-  strategy (documented in the reference README but never implemented
-  there — see reference README.md:192).
+- overlap assembly exploits that the window grid is a compile-time
+  constant: per-window output indices are precomputed in numpy and the
+  whole assembly is ONE parallel scatter-add (plus a *static* hit-count
+  map baked in as a constant), or a scatter-max for the "max" strategy
+  (documented in the reference README but never implemented there — see
+  reference README.md:192). This replaces the reference's host-side numpy
+  loop (reference eval_utils.py:79-96) with a single fused device op.
 """
 
 from __future__ import annotations
@@ -85,8 +88,6 @@ def sliding_window_predict(
     starts_padded = jnp.concatenate(
         [starts, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
     )
-    valid = jnp.arange(n_pad) < n
-
     def gather(yx):
         return jax.lax.dynamic_slice(image, (yx[0], yx[1], 0), (wh, ww, image.shape[2]))
 
@@ -107,35 +108,29 @@ def sliding_window_predict(
     preds = preds.astype(jnp.float32)
 
     hr, wr = h // reduction, w // reduction
+    # The window grid is static, so every window's flat output indices —
+    # and the overlap hit-count map — are compile-time numpy constants.
+    # Assembly is then ONE parallel scatter (no serial scan over windows).
+    starts_np = np.asarray(window_grid((h, w), window, stride)) // reduction  # (n, 2)
+    oy, ox = np.mgrid[0:bh, 0:bw]  # (bh, bw)
+    flat_idx = (
+        (starts_np[:, 0, None, None] + oy) * wr + (starts_np[:, 1, None, None] + ox)
+    ).astype(np.int32)  # (n, bh, bw)
+    preds_valid = preds[:n].reshape(-1)
+
     if strategy == "average":
-        init = (jnp.zeros((hr, wr), jnp.float32), jnp.zeros((hr, wr), jnp.float32))
-
-        def body(carry, inp):
-            acc, cnt = carry
-            yx, pred, ok = inp
-            by, bx = yx[0] // reduction, yx[1] // reduction
-            ok_f = ok.astype(jnp.float32)
-            patch = jax.lax.dynamic_slice(acc, (by, bx), (bh, bw))
-            acc = jax.lax.dynamic_update_slice(acc, patch + pred * ok_f, (by, bx))
-            cpatch = jax.lax.dynamic_slice(cnt, (by, bx), (bh, bw))
-            cnt = jax.lax.dynamic_update_slice(cnt, cpatch + ok_f, (by, bx))
-            return (acc, cnt), None
-
-        (acc, cnt), _ = jax.lax.scan(body, init, (starts_padded, preds, valid))
-        return acc / jnp.maximum(cnt, 1.0)
+        cnt = np.zeros(hr * wr, np.float32)
+        np.add.at(cnt, flat_idx.reshape(-1), 1.0)
+        acc = jnp.zeros(hr * wr, jnp.float32).at[flat_idx.reshape(-1)].add(
+            preds_valid, mode="drop", unique_indices=False
+        )
+        return (acc / jnp.asarray(np.maximum(cnt, 1.0))).reshape(hr, wr)
 
     if strategy == "max":
-        init = jnp.full((hr, wr), -jnp.inf, jnp.float32)
-
-        def body_max(acc, inp):
-            yx, pred, ok = inp
-            by, bx = yx[0] // reduction, yx[1] // reduction
-            patch = jax.lax.dynamic_slice(acc, (by, bx), (bh, bw))
-            new = jnp.where(ok, jnp.maximum(patch, pred), patch)
-            return jax.lax.dynamic_update_slice(acc, new, (by, bx)), None
-
-        acc, _ = jax.lax.scan(body_max, init, (starts_padded, preds, valid))
-        return jnp.where(jnp.isfinite(acc), acc, 0.0)
+        acc = jnp.full(hr * wr, -jnp.inf, jnp.float32).at[flat_idx.reshape(-1)].max(
+            preds_valid, mode="drop"
+        )
+        return jnp.where(jnp.isfinite(acc), acc, 0.0).reshape(hr, wr)
 
     raise ValueError(f"strategy must be 'average' or 'max', got {strategy}")
 

@@ -170,14 +170,14 @@ def test_trainer_cli_pretrained_bitmatch(tmp_path, monkeypatch):
 
     data_root = tmp_path / "data"
     ckpt_dir = tmp_path / "ckpt"
-    _make_crowd_dir(str(data_root))
+    _make_crowd_dir(str(data_root), n=8)  # batch of 8: 8-device test mesh
 
     from clip_ebc_tpu.cli.trainer import main
 
     main([
         "--model", "vgg11_ae", "--dataset", "shb",
         "--input_size", "64", "--reduction", "8", "--truncation", "4",
-        "--count_loss", "mae", "--batch_size", "4", "--num_workers", "1",
+        "--count_loss", "mae", "--batch_size", "8", "--num_workers", "1",
         "--total_epochs", "1", "--save_freq", "1", "--eval_start", "99",
         "--data_root", str(data_root), "--ckpt_dir", str(ckpt_dir),
         "--pretrained", str(ckpt_pt), "--eval_disable_size_check",
