@@ -172,10 +172,19 @@ def evaluate(
             indices = tqdm(indices, desc="eval")
         except ImportError:
             pass
+    # One-deep async pipeline: dispatch image i's prediction (JAX dispatch
+    # returns immediately), then fetch image i-1's count — the device
+    # computes i while the host decodes/uploads i+1 and fetches i-1.
+    pending = None  # (device count scalar, gt)
     for _ in indices:
         item = q.get()
         if isinstance(item, Exception):
             raise item
         image, gt = item
-        acc.update(evaluator.predict_count(variables, image), gt)
+        count = evaluator.predict_density(variables, image).sum()
+        if pending is not None:
+            acc.update(float(pending[0]), pending[1])
+        pending = (count, gt)
+    if pending is not None:
+        acc.update(float(pending[0]), pending[1])
     return acc.result()
