@@ -110,7 +110,11 @@ def main() -> None:
     # 2x upsample, 4x fewer decoder FLOPs); default is the reference
     # ordering so the headline number is the checkpoint-parity path.
     dec_pre = os.environ.get("BENCH_DECODER", "post") == "pre"
-    model, _ = _flagship(dtype=jnp.bfloat16, quant_int8=quant, decoder_before_upsample=dec_pre)
+    attn = os.environ.get("BENCH_ATTN", "auto")  # auto|flash|sdpa
+    model, _ = _flagship(
+        dtype=jnp.bfloat16, quant_int8=quant,
+        decoder_before_upsample=dec_pre, attn_backend=attn,
+    )
     h, w = (
         int(os.environ.get("BENCH_IMG_H", "2048")),
         int(os.environ.get("BENCH_IMG_W", "3072")),

@@ -134,6 +134,14 @@ class ClipViT(nn.Module):
 
         dense_cls = make_dense_cls(self.quant_int8)
         block_cls = nn.remat(ResidualAttentionBlock) if self.remat else ResidualAttentionBlock
+        # VPT prompts live at positions [1, 1+num_vpt) for the whole stack:
+        # deep VPT *replaces* them before each block, so a single in-place
+        # row overwrite per layer is bitwise-equivalent to the reference's
+        # strip-then-reinsert (reference models/clip/model.py:142-189) at a
+        # fraction of the HBM traffic; shallow VPT lets them flow through
+        # with no per-layer sequence surgery at all.
+        if use_vpt:
+            x = jnp.concatenate([x[:, :1], prompts, x[:, 1:]], axis=1)
         for i in range(layers):
             block = block_cls(
                 num_heads=heads,
@@ -144,22 +152,17 @@ class ClipViT(nn.Module):
                 dense_cls=dense_cls,
                 name=f"resblock_{i}",
             )
-            if use_vpt:
-                x = jnp.concatenate([x[:, :1], prompts, x[:, 1:]], axis=1)
-                x = block(x)
-                if i < layers - 1:
-                    if self.deep_vpt:
-                        prompts = jnp.broadcast_to(
-                            vpt[i + 1].astype(x.dtype), (b, self.num_vpt, width)
-                        )
-                        if drop is not None:
-                            prompts = drop(prompts, deterministic=not train)
-                    else:
-                        prompts = x[:, 1 : self.num_vpt + 1]
-                x = jnp.concatenate([x[:, :1], x[:, self.num_vpt + 1 :]], axis=1)
-            else:
-                x = block(x)
-
+            if use_vpt and self.deep_vpt and i > 0:
+                prompts = jnp.broadcast_to(
+                    vpt[i].astype(x.dtype), (b, self.num_vpt, width)
+                )
+                if drop is not None:
+                    prompts = drop(prompts, deterministic=not train)
+                x = jax.lax.dynamic_update_slice(x, prompts, (0, 1, 0))
+            x = block(x)
+        # ln_post is per-token, so no need to strip the prompts first —
+        # slice CLS / patch tokens straight out of the full sequence.
+        n_lead = 1 + (self.num_vpt if use_vpt else 0)
         x = LayerNormF32(1e-5, name="ln_post")(x)
         if not self.features_only:
             proj = self.param(
@@ -167,7 +170,7 @@ class ClipViT(nn.Module):
                 (width, self.clip_embed_dim), jnp.float32,
             )
             return x[:, 0, :] @ proj.astype(x.dtype)
-        return x[:, 1:, :].reshape(b, gh, gw, width)
+        return x[:, n_lead:, :].reshape(b, gh, gw, width)
 
 
 class ClipBottleneck(nn.Module):
