@@ -80,11 +80,11 @@ def get_backbone(
             axis_name=axis_name,
         )
     if name in _VIT_CONFIGS:
-        from .transformer import resolve_attn_impl
+        from .transformer import resolve_attn_impl, use_fused_qkv
 
         return ViTEncoder(
             variant=name, image_size=input_size, reduction=reduction, dtype=dtype,
-            attn_impl=resolve_attn_impl("auto"),
+            attn_impl=resolve_attn_impl("auto"), fused_qkv=use_fused_qkv("auto"),
         )
     if name in _BACKBONE_REGISTRY:
         return _BACKBONE_REGISTRY[name](

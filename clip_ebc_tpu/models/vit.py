@@ -37,6 +37,7 @@ class ViTEncoder(nn.Module):
     reduction: Optional[int] = None
     dtype: Any = jnp.float32
     attn_impl: Any = sdpa_attention
+    fused_qkv: bool = False  # Pallas fused qkv attention (ops/fused_attention.py)
 
     @property
     def patch_size(self) -> int:
@@ -81,6 +82,14 @@ class ViTEncoder(nn.Module):
         pos = interpolate_pos_embed(pos, (base_grid, base_grid), (gh, gw))
         x = x + pos[None].astype(x.dtype)
 
+        n_real = x.shape[1]
+        kv_len = None
+        if self.fused_qkv:
+            lp = -(-n_real // 128) * 128
+            if lp != n_real:
+                x = jnp.pad(x, ((0, 0), (0, lp - n_real), (0, 0)))
+                kv_len = n_real
+
         mlp_ratio = mlp_dim / hidden
         for i in range(layers):
             x = ResidualAttentionBlock(
@@ -90,11 +99,13 @@ class ViTEncoder(nn.Module):
                 ln_epsilon=1e-6,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                fused_qkv=self.fused_qkv,
+                kv_len=kv_len,
                 name=f"block_{i}",
             )(x)
         x = LayerNormF32(1e-6, name="ln_final")(x)
 
-        x = x[:, 1:, :].reshape(b, gh, gw, hidden)
+        x = x[:, 1 : 1 + gh * gw, :].reshape(b, gh, gw, hidden)
         red = self.reduction or patch
         if red != patch:
             x = resize_bilinear(x, patch / red)
