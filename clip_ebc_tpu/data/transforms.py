@@ -62,27 +62,73 @@ def crop(image: Array, label: Array, top: int, left: int, height: int, width: in
     return image, label
 
 
+def _torch_cubic_taps(in_size: int, out_size: int, a: float = -0.75):
+    """Per-output 4-tap indices/weights of torch's bicubic (a=-0.75,
+    half-pixel centers, border replicate) — numpy twin of
+    ops/interpolate._cubic_taps, kept jax-free for the host pipeline."""
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(x)
+    t = x - x0
+
+    def kernel(s):
+        s = np.abs(s)
+        return np.where(
+            s <= 1.0,
+            ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0,
+            np.where(s < 2.0, a * (((s - 5.0) * s + 8.0) * s - 4.0), 0.0),
+        )
+
+    offsets = np.array([-1.0, 0.0, 1.0, 2.0])
+    idx = np.clip((x0[:, None] + offsets[None, :]).astype(np.int64), 0, in_size - 1)
+    return idx, kernel(t[:, None] - offsets[None, :]).astype(np.float32)
+
+
+def _pil_resize_axis(image: Array, axis: int, out_size: int) -> Array:
+    """Antialiased bicubic resize of ONE axis via PIL (the other axis is
+    identity: PIL's scale-1 bicubic weights are exactly [0, 1, 0, 0])."""
+    from PIL import Image
+
+    ih, iw = image.shape[:2]
+    size = (iw, out_size) if axis == 0 else (out_size, ih)  # PIL is (w, h)
+    chans = []
+    for c in range(image.shape[2]):
+        im = Image.fromarray(image[:, :, c], mode="F")
+        chans.append(np.asarray(im.resize(size, Image.BICUBIC)))
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
 def _resize_image(image: Array, height: int, width: int) -> Array:
-    """Bicubic resize with antialiasing via PIL (matches torchvision's
-    antialias=True bicubic closely; exact filter taps differ by at most
-    rounding). Falls back to jax.image if PIL is unavailable."""
+    """Bicubic resize with torchvision ``antialias=True`` semantics
+    (the reference's eval/aug resize, reference datasets/transforms.py:34):
+    per axis, downscale uses the PIL-style antialiased bicubic kernel
+    (torchvision's antialiased float path was built to match PIL) and
+    upscale uses torch's plain bicubic (a=-0.75, antialias is a no-op on
+    upscale in torchvision). Falls back to jax.image if PIL is missing."""
     ih, iw = image.shape[:2]
     if (ih, iw) == (height, width):
         return image
+    out = image.astype(np.float32)
     try:
-        from PIL import Image
-
-        chans = []
-        # PIL resizes uint8/float32 2D images; go channel-by-channel in float32.
-        for c in range(image.shape[2]):
-            im = Image.fromarray(image[:, :, c], mode="F")
-            chans.append(np.asarray(im.resize((width, height), Image.BICUBIC)))
-        return np.stack(chans, axis=-1).astype(np.float32)
+        for axis, (in_size, out_size) in enumerate(((ih, height), (iw, width))):
+            if out_size == in_size:
+                continue
+            if out_size < in_size:  # antialiased downscale
+                out = _pil_resize_axis(out, axis, out_size)
+            else:  # torch-parity upscale
+                idx, wt = _torch_cubic_taps(in_size, out_size)
+                g = np.take(out, idx, axis=axis)
+                out = (
+                    np.einsum("otwc,ot->owc", g, wt)
+                    if axis == 0
+                    else np.einsum("hotc,ot->hoc", g, wt)
+                ).astype(np.float32)
+        return out
     except ImportError:
         import jax
 
-        out = jax.image.resize(image, (height, width, image.shape[2]), "bicubic")
-        return np.asarray(out, dtype=np.float32)
+        res = jax.image.resize(image, (height, width, image.shape[2]), "bicubic")
+        return np.asarray(res, dtype=np.float32)
 
 
 def resize(image: Array, label: Array, height: int, width: int) -> Tuple[Array, Array]:

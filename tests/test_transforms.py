@@ -178,3 +178,54 @@ def test_compose_chains(rng):
     img = make_image(64, 64)
     out, lab = t(img, np.array([[33.0, 33.0]], np.float32), rng)
     assert out.shape == (32, 32, 3)
+
+
+def test_resize_upscale_torch_bicubic_parity(rng):
+    """Upscale must match torch F.interpolate bicubic exactly: torchvision's
+    antialias=True is a no-op on upscale, so the reference's eval resize
+    (reference datasets/transforms.py:34) degenerates to plain torch
+    bicubic (a=-0.75) there."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    img = rng.uniform(0, 255, (40, 56, 3)).astype(np.float32)
+    ours = T._resize_image(img, 96, 130)
+    t = torch.from_numpy(img).permute(2, 0, 1)[None]
+    ref = F.interpolate(
+        t, size=(96, 130), mode="bicubic", align_corners=False
+    )[0].permute(1, 2, 0).numpy()
+    # 0-255 scale; fp32 accumulation-order noise only (rel ~5e-6)
+    assert np.abs(ours - ref).max() < 5e-3
+
+
+def test_resize_downscale_matches_pil_antialias(rng):
+    """Downscale is PIL-style antialiased bicubic (what torchvision's
+    antialias=True float path reproduces); per-axis application must agree
+    with PIL's own 2D resize."""
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    img = rng.uniform(0, 255, (97, 123, 3)).astype(np.float32)
+    ours = T._resize_image(img, 48, 64)
+    chans = [
+        np.asarray(
+            Image.fromarray(img[:, :, c], mode="F").resize((64, 48), Image.BICUBIC)
+        )
+        for c in range(3)
+    ]
+    ref = np.stack(chans, axis=-1)
+    assert np.abs(ours - ref).max() < 1e-2
+
+
+def test_resize_mixed_axes(rng):
+    """One axis up, one down: shapes and value range stay sane and the
+    result matches composing the two single-axis resizes in either order
+    to float tolerance."""
+    img = rng.uniform(0, 255, (64, 100, 3)).astype(np.float32)
+    out = T._resize_image(img, 128, 50)  # H up, W down
+    assert out.shape == (128, 50, 3)
+    assert out.min() > -40 and out.max() < 300  # bicubic overshoot bounded
+    # reversed order of axis application
+    inter = T._resize_image(img, 64, 50)
+    other = T._resize_image(inter, 128, 50)
+    assert np.abs(out - other).max() < 0.75
