@@ -13,7 +13,10 @@ from typing import Any, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 
 from .csrnet import CSRNet
+from .densenet import _CONFIGS as _DENSENET_CONFIGS
+from .densenet import DenseNetBackbone
 from .heads import Classifier, Regressor, expectation_from_logits
+from .mobilenet import MobileNetV2Backbone
 from .resnet import PlainResNetBackbone, ResNetAutoEncoder, ResNetEncoder
 from .vgg import VGGAutoEncoder, VGGEncoder, make_vgg
 from .vit import ViTEncoder, _VIT_CONFIGS
@@ -69,6 +72,12 @@ def get_backbone(
         )
     if name in _RESNET_NAMES:
         return PlainResNetBackbone(
+            variant=name, reduction=reduction, dtype=dtype, axis_name=axis_name
+        )
+    if name in ("mobilenetv2", "mobilenet_v2"):
+        return MobileNetV2Backbone(reduction=reduction, dtype=dtype, axis_name=axis_name)
+    if name in _DENSENET_CONFIGS:
+        return DenseNetBackbone(
             variant=name, reduction=reduction, dtype=dtype, axis_name=axis_name
         )
     if name in ("csrnet", "csrnet_bn", "cannet", "cannet_bn"):
@@ -146,6 +155,8 @@ __all__ = [
     "ResNetEncoder",
     "ResNetAutoEncoder",
     "PlainResNetBackbone",
+    "MobileNetV2Backbone",
+    "DenseNetBackbone",
     "CSRNet",
     "ViTEncoder",
     "CLIP_BACKBONES",

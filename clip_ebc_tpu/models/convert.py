@@ -289,6 +289,83 @@ def convert_torchvision_resnet(
 
 
 # ---------------------------------------------------------------------------
+# torchvision MobileNetV2 / DenseNet -> MobileNetV2Backbone / DenseNetBackbone
+# ---------------------------------------------------------------------------
+
+# Stage repeats of MobileNetV2 (mobilenet._STAGES); torchvision flattens the
+# 17 inverted-residual blocks as features.1..17.
+_MOBILENET_REPEATS = (1, 2, 3, 4, 3, 3, 1)
+
+
+def convert_torchvision_mobilenet_v2(
+    sd: Mapping[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision ``mobilenet_v2`` state dict -> MobileNetV2Backbone tree.
+
+    Replaces the reference's ``timm.create_model("mobilenetv2_100",
+    pretrained=True)`` path (reference models/encoder/timm_models.py:17-39).
+    The final 1280-wide classifier conv (features.18) is dropped — the
+    backbone taps the 320-channel stage output, matching timm
+    ``features_only`` with ``out_indices=[-1]``. Stride surgery needs no
+    weight changes, so one checkpoint serves both reductions.
+    """
+    b = _TreeBuilder()
+    b.param("stem/kernel", conv_kernel(sd["features.0.0.weight"]))
+    b.bn("stem_bn", sd, "features.0.1")
+    f = 1
+    for si, n in enumerate(_MOBILENET_REPEATS):
+        for bi in range(n):
+            src, dst = f"features.{f}.conv", f"stage{si}_{bi}"
+            if f"{src}.2.weight" in sd and sd[f"{src}.2.weight"].ndim == 4:
+                # expand -> depthwise -> project (expand_ratio > 1)
+                b.param(f"{dst}/expand/kernel", conv_kernel(sd[f"{src}.0.0.weight"]))
+                b.bn(f"{dst}/expand_bn", sd, f"{src}.0.1")
+                b.param(f"{dst}/dw/kernel", conv_kernel(sd[f"{src}.1.0.weight"]))
+                b.bn(f"{dst}/dw_bn", sd, f"{src}.1.1")
+                b.param(f"{dst}/project/kernel", conv_kernel(sd[f"{src}.2.weight"]))
+                b.bn(f"{dst}/project_bn", sd, f"{src}.3")
+            else:  # expand_ratio == 1 (first block): depthwise -> project
+                b.param(f"{dst}/dw/kernel", conv_kernel(sd[f"{src}.0.0.weight"]))
+                b.bn(f"{dst}/dw_bn", sd, f"{src}.0.1")
+                b.param(f"{dst}/project/kernel", conv_kernel(sd[f"{src}.1.weight"]))
+                b.bn(f"{dst}/project_bn", sd, f"{src}.2")
+            f += 1
+    return b.out()
+
+
+def convert_torchvision_densenet(
+    sd: Mapping[str, Any],
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision ``densenet121/161/169/201`` state dict ->
+    DenseNetBackbone tree (reference reaches these via timm,
+    models/encoder/timm_models.py:17-39; pool removal needs no weight
+    changes)."""
+    b = _TreeBuilder()
+    b.param("stem/kernel", conv_kernel(sd["features.conv0.weight"]))
+    b.bn("stem_bn", sd, "features.norm0")
+    bi = 1
+    while f"features.denseblock{bi}.denselayer1.norm1.weight" in sd:
+        li = 1
+        while f"features.denseblock{bi}.denselayer{li}.norm1.weight" in sd:
+            src = f"features.denseblock{bi}.denselayer{li}"
+            dst = f"block{bi}_layer{li}"
+            b.bn(f"{dst}/bn1", sd, f"{src}.norm1")
+            b.param(f"{dst}/conv1/kernel", conv_kernel(sd[f"{src}.conv1.weight"]))
+            b.bn(f"{dst}/bn2", sd, f"{src}.norm2")
+            b.param(f"{dst}/conv2/kernel", conv_kernel(sd[f"{src}.conv2.weight"]))
+            li += 1
+        if f"features.transition{bi}.norm.weight" in sd:
+            b.bn(f"trans{bi}_bn", sd, f"features.transition{bi}.norm")
+            b.param(
+                f"trans{bi}_conv/kernel",
+                conv_kernel(sd[f"features.transition{bi}.conv.weight"]),
+            )
+        bi += 1
+    b.bn("final_bn", sd, "features.norm5")
+    return b.out()
+
+
+# ---------------------------------------------------------------------------
 # reference decoder stacks (make_resnet_layers Sequential) -> ResNetStage
 # ---------------------------------------------------------------------------
 
@@ -461,6 +538,10 @@ def detect_checkpoint_kind(sd: Mapping[str, Any]) -> str:
         return "torchvision_vit"
     if "conv1.weight" in keys and "layer1.0.conv1.weight" in keys:
         return "torchvision_resnet"
+    if "features.0.0.weight" in keys and "features.1.conv.0.0.weight" in keys:
+        return "torchvision_mobilenet_v2"
+    if "features.denseblock1.denselayer1.norm1.weight" in keys:
+        return "torchvision_densenet"
     if any(re.fullmatch(r"features\.\d+\.weight", k) for k in keys):
         return "torchvision_vgg"
     raise ValueError(

@@ -15,6 +15,7 @@ overlays it onto freshly-initialized Flax variables:
 - torchvision VGG  (``features.*``)   -> backbone/features
 - torchvision ViT  (``conv_proj.*``)  -> backbone (pos-embed interp)
 - torchvision ResNet (``layerN.*``)   -> backbone[/encoder]
+- torchvision MobileNetV2 / DenseNet  -> backbone (timm escape-hatch names)
 
 Everything not covered by the checkpoint (decoder, projection, heads, VPT
 prompts) keeps its fresh initialization — same semantics as the
@@ -137,6 +138,14 @@ def convert_for_model(
         v_p = C.convert_torchvision_vit(sd)
         _interp_vit_pos_embed(v_p, bb)
         return {"backbone": v_p}, {}
+
+    if kind == "torchvision_mobilenet_v2":
+        m_p, m_s = C.convert_torchvision_mobilenet_v2(sd)
+        return {"backbone": m_p}, {"backbone": m_s}
+
+    if kind == "torchvision_densenet":
+        d_p, d_s = C.convert_torchvision_densenet(sd)
+        return {"backbone": d_p}, {"backbone": d_s}
 
     raise AssertionError(kind)
 
