@@ -44,12 +44,59 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--result_dir", type=str, default="nwpu_test_results")
     p.add_argument("--amp", action="store_true")
-    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8", "int8_static"],
                    help="W8A8 int8 inference matmuls in the CLIP ViT trunk "
-                        "(TPU MXU int8 path; no reference equivalent)")
+                        "(TPU MXU int8 path; no reference equivalent). "
+                        "int8_static calibrates per-tensor activation scales "
+                        "on the first --calib_images and skips the per-matmul "
+                        "max-reduction the dynamic mode pays")
+    p.add_argument("--calib_images", type=int, default=2,
+                   help="images used to calibrate int8_static activation scales")
     p.add_argument("--limit", type=int, default=None, help="process only the first N images (smoke tests)")
     p.add_argument("--disable_size_check", action="store_true")
     return p
+
+
+def _calibrate(args, model_kw, bins, anchors, variables):
+    """Populate the ``"quant"`` collection: run a dynamic-quant twin of the
+    model (same params) over window batches of the first --calib_images
+    test images, recording per-matmul activation max-abs
+    (ops.quant.calibrate_int8)."""
+    import jax
+    import numpy as np
+
+    from ..data import NWPUTestDataset
+    from ..models import get_model
+    from ..ops.quant import calibrate_int8
+    from ..ops.sliding_window import window_grid
+
+    dyn = get_model(
+        args.model, args.input_size, args.reduction, bins, anchors,
+        quant_mode="dynamic", **model_kw,
+    )
+    dataset = NWPUTestDataset(
+        data_root=args.data_root, check_sizes=not args.disable_size_check
+    )
+    win = args.window_size or args.input_size
+    batches = []
+    for i in range(min(args.calib_images, len(dataset))):
+        image, _ = dataset[i]
+        image = np.asarray(image)
+        h, w = image.shape[:2]
+        if h < win or w < win:  # pad tiny images up to one window
+            pad = np.zeros((max(h, win), max(w, win), 3), image.dtype)
+            pad[:h, :w] = image
+            image, (h, w) = pad, pad.shape[:2]
+        coords = window_grid((h, w), (win, win), (win, win))[:16]
+        batches.append(
+            np.stack([image[y : y + win, x : x + win] for y, x in coords])
+        )
+
+    apply_fn = jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]))
+    variables = calibrate_int8(apply_fn, variables, batches)
+    print(f"calibrated int8 scales on {len(batches)} image(s)")
+    return variables
 
 
 def main(argv=None) -> None:
@@ -78,11 +125,15 @@ def main(argv=None) -> None:
         )
 
     dtype = jnp.bfloat16 if args.amp else jnp.float32
-    model = get_model(
-        args.model, args.input_size, args.reduction, bins, anchors,
+    model_kw = dict(
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, vpt_drop=args.vpt_drop, dtype=dtype,
-        quant_int8=args.quant == "int8",
+        quant_int8=args.quant.startswith("int8"),
+    )
+    model = get_model(
+        args.model, args.input_size, args.reduction, bins, anchors,
+        quant_mode="static" if args.quant == "int8_static" else "dynamic",
+        **model_kw,
     )
     template = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)), train=False
@@ -119,6 +170,9 @@ def main(argv=None) -> None:
                 weights_t["batch_stats"] = template["batch_stats"]
             variables = mgr.restore_weights(weight_path, weights_t)
 
+    if args.quant == "int8_static":
+        variables = _calibrate(args, model_kw, bins, anchors, variables)
+
     transforms = None
     if args.sliding_window and args.resize_to_multiple:
         transforms = Resize2Multiple(args.window_size, args.stride)
@@ -146,9 +200,10 @@ def main(argv=None) -> None:
             print(f"{i + 1}/{n}")
 
     os.makedirs(args.result_dir, exist_ok=True)
-    tag = os.path.basename(os.path.normpath(args.weight_path))
-    parent = os.path.basename(os.path.dirname(os.path.normpath(args.weight_path)))
-    out_path = os.path.join(args.result_dir, f"{parent}_{tag}.txt")
+    src = args.weight_path if args.weight_path is not None else args.pretrained
+    tag = os.path.basename(os.path.normpath(src))
+    parent = os.path.basename(os.path.dirname(os.path.normpath(src)))
+    out_path = os.path.join(args.result_dir, f"{parent}_{tag}.txt".lstrip("_"))
     with open(out_path, "w") as f:
         f.write("\n".join(lines))  # no trailing newline (reference :111-116)
     print(f"wrote {out_path}")

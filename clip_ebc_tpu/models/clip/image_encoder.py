@@ -60,6 +60,7 @@ class ClipViT(nn.Module):
     remat: bool = False  # rematerialize each resblock (memory <-> FLOPs)
     features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
     quant_int8: bool = False  # W8A8 inference matmuls (ops/quant.py)
+    quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
     # Pallas fused qkv-attention (ops/fused_attention.py): the sequence is
     # padded once to a 128-multiple for the whole trunk and padded rows are
     # masked as keys inside the kernel.
@@ -136,7 +137,7 @@ class ClipViT(nn.Module):
 
         from ..transformer import make_dense_cls
 
-        dense_cls = make_dense_cls(self.quant_int8)
+        dense_cls = make_dense_cls(self.quant_int8, self.quant_mode)
         block_cls = nn.remat(ResidualAttentionBlock) if self.remat else ResidualAttentionBlock
         # VPT prompts live at positions [1, 1+num_vpt) for the whole stack:
         # deep VPT *replaces* them before each block, so a single in-place

@@ -79,6 +79,7 @@ class ClipEBC(nn.Module):
     attn_backend: str = "auto"  # "auto" | "flash" | "sdpa"
     fused_head: str = "auto"  # "auto" | "on" | "off" (Pallas head at eval)
     quant_int8: bool = False  # W8A8 int8 inference matmuls in the ViT trunk
+    quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
     # TPU-optimized variant: run the residual decoder at the encoder's
     # native grid and upsample afterwards. At reduction 8 this cuts the
     # decoder's FLOPs 4x (it costs as much as the whole ViT-B trunk when
@@ -129,6 +130,7 @@ class ClipEBC(nn.Module):
                 dtype=self.dtype,
                 attn_impl=attn,
                 quant_int8=self.quant_int8,
+                quant_mode=self.quant_mode,
                 fused_qkv=use_fused_qkv(self.attn_backend),
             )
         else:
@@ -269,6 +271,7 @@ def build_clip_ebc(
     fused_head: str = "auto",
     decoder_before_upsample: bool = False,
     quant_int8: bool = False,
+    quant_mode: str = "dynamic",
     **_: Any,
 ) -> ClipEBC:
     """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
@@ -299,6 +302,7 @@ def build_clip_ebc(
         fused_head=fused_head,
         decoder_before_upsample=decoder_before_upsample,
         quant_int8=quant_int8,
+        quant_mode=quant_mode,
     )
     # Attach the optimizer mask (consumed by Trainer).
     if is_vit:

@@ -96,13 +96,17 @@ def sdpa_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-def make_dense_cls(quant_int8: bool) -> Callable:
-    """nn.Dense, or its W8A8 int8 drop-in (ops/quant.py) for inference."""
+def make_dense_cls(quant_int8: bool, quant_mode: str = "dynamic") -> Callable:
+    """nn.Dense, or its W8A8 int8 drop-in (ops/quant.py) for inference;
+    ``quant_mode="static"`` uses precalibrated per-tensor activation
+    scales (see ops.quant.calibrate_int8)."""
     if not quant_int8:
         return nn.Dense
+    import functools
+
     from ..ops.quant import Int8Dense
 
-    return Int8Dense
+    return functools.partial(Int8Dense, quant_mode=quant_mode)
 
 
 class MultiHeadAttention(nn.Module):

@@ -8,14 +8,21 @@ matmuls are quantized on the fly:
   in-graph from the fp32 master params — checkpoints, converters, and the
   param tree are completely unchanged, and the quantize cost is one extra
   read of W per apply (amortized over the batch);
-- activations: dynamic symmetric per-row scales (max-abs / 127), the
-  standard W8A8 dynamic-quant recipe;
+- activations, two modes:
+  * ``dynamic`` (default): symmetric per-row scales (max-abs / 127),
+    computed in-graph — no calibration needed, but each quantized matmul
+    pays an extra max-reduction pass over its input;
+  * ``static``: one per-tensor scale per matmul input, recorded offline by
+    ``calibrate_int8`` (max-abs over representative batches, stored in the
+    ``"quant"`` variable collection) — the production W8A8 recipe: the
+    quantize step is a single fused multiply-round, no reduction;
 - the matmul itself is ``lax.dot_general`` with int8 operands and an int32
   accumulator, which XLA lowers onto the MXU's native int8 path.
 
 The reference has no quantized path (torch fp16 autocast only,
 reference train.py:36-43); this is a TPU-native deployment addition,
-exposed via ``get_model(..., quant_int8=True)`` / ``--quant int8``.
+exposed via ``get_model(..., quant_int8=True)`` / ``--quant int8`` and
+``quant_mode="static"`` / ``--quant int8_static`` (after calibration).
 """
 
 from __future__ import annotations
@@ -64,13 +71,41 @@ def int8_matmul(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, out_dtype=None):
     return out.astype(out_dtype)
 
 
+def int8_matmul_static(
+    x: jnp.ndarray, kernel: jnp.ndarray, act_scale: jnp.ndarray, bias=None, out_dtype=None
+):
+    """(..., K) @ (K, N) with a precalibrated per-tensor activation scale:
+    quantization is one fused multiply-round, no reduction pass over x."""
+    out_dtype = out_dtype or x.dtype
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+    ).astype(jnp.int8)
+    w_q, s_w = quantize_colwise(kernel)
+    acc = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (act_scale * s_w)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 class Int8Dense(nn.Module):
     """Drop-in for ``nn.Dense`` (same param names/shapes/init, so converted
-    checkpoints load identically) whose matmul runs int8 on the MXU."""
+    checkpoints load identically) whose matmul runs int8 on the MXU.
+
+    ``quant_mode="static"`` uses the per-tensor activation scale from the
+    ``"quant"`` collection (populate it with ``calibrate_int8`` first);
+    ``"dynamic"`` computes per-row scales in-graph, and — when the
+    ``"quant"`` collection is mutable — records the max-abs seen, which is
+    exactly what calibration does."""
 
     features: int
     use_bias: bool = True
     dtype: Any = jnp.bfloat16
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,4 +118,33 @@ class Int8Dense(nn.Module):
             if self.use_bias
             else None
         )
+        # Only touch the "quant" collection when static mode needs to read
+        # it or a calibration pass (mutable "quant") wants to record — the
+        # plain dynamic path must keep working with bare params/batch_stats.
+        if self.quant_mode == "static":
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            return int8_matmul_static(
+                x, kernel, jnp.maximum(amax.value, _EPS * 127.0) / 127.0,
+                bias, out_dtype=self.dtype,
+            )
+        # (not during init: a dynamic-mode model's variable tree must stay
+        # identical to nn.Dense's so converted checkpoints load unchanged)
+        if not self.is_initializing() and self.is_mutable_collection("quant"):
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(amax.value, jnp.abs(x.astype(jnp.float32)).max())
         return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
+
+
+def calibrate_int8(apply_fn, variables, batches):
+    """Record per-matmul activation max-abs over representative ``batches``.
+
+    ``apply_fn(variables, batch)`` must run a *dynamic*-mode quant model's
+    inference forward with ``mutable=["quant"]`` and return the flax
+    ``(out, mutated_collections)`` pair; returns ``variables`` with the
+    ``"quant"`` collection populated (running max across batches), ready
+    for a ``quant_mode="static"`` model."""
+    variables = dict(variables)
+    for batch in batches:
+        _, mut = apply_fn(variables, batch)
+        variables["quant"] = mut["quant"]
+    return variables

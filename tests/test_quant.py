@@ -86,3 +86,81 @@ def test_clip_ebc_quant_forward_close_to_bf16():
     assert abs(c_q - c_ref) <= 0.05 * max(abs(c_ref), 1.0), (c_ref, c_q)
     # densities pointwise close in the same ballpark
     assert np.median(np.abs(d_q - d_ref)) <= 0.05 * (np.abs(d_ref).max() + 1e-6)
+
+
+def test_int8_static_calibrate_then_matches_dynamic():
+    """Static mode: calibrate on a batch, then static forward agrees with
+    the dynamic path (same per-tensor range when the eval data matches the
+    calibration data) and with fp32 within quantization tolerance."""
+    from clip_ebc_tpu.ops.quant import calibrate_int8
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(16, 64)), jnp.float32)
+    params = nn.Dense(32).init(jax.random.PRNGKey(1), x)
+
+    dyn = Int8Dense(32, dtype=jnp.float32, quant_mode="dynamic")
+    static = Int8Dense(32, dtype=jnp.float32, quant_mode="static")
+
+    variables = calibrate_int8(
+        lambda v, b: dyn.apply(v, b, mutable=["quant"]), dict(params), [x]
+    )
+    assert float(variables["quant"]["act_amax"]) > 0.0
+
+    ref = np.asarray(nn.Dense(32).apply(params, x))
+    got = np.asarray(static.apply(variables, x))
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_int8_static_running_max_across_batches():
+    rng = np.random.default_rng(5)
+    small = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    big = small * 10.0
+    params = nn.Dense(8).init(jax.random.PRNGKey(0), small)
+    dyn = Int8Dense(8, quant_mode="dynamic")
+    from clip_ebc_tpu.ops.quant import calibrate_int8
+
+    v = calibrate_int8(
+        lambda vv, b: dyn.apply(vv, b, mutable=["quant"]),
+        dict(params), [small, big, small],
+    )
+    assert np.isclose(
+        float(v["quant"]["act_amax"]), float(jnp.abs(big).max()), rtol=1e-6
+    )
+
+
+def test_clip_ebc_static_quant_end_to_end():
+    """Flagship model: dynamic-mode calibration populates every trunk
+    matmul's scale; the static model then runs and stays close to bf16."""
+    from clip_ebc_tpu.config import get_bins_and_anchors
+    from clip_ebc_tpu.models import get_model
+
+    bins, anchors = get_bins_and_anchors(
+        reduction=8, truncation=4, dataset="qnrf",
+        granularity="fine", anchor_points="average",
+    )
+    kw = dict(input_size=224, reduction=8, bins=bins, anchor_points=anchors,
+              num_vpt=2, dtype=jnp.bfloat16)
+    base = get_model("clip_vit_b_16", **kw)
+    dyn = get_model("clip_vit_b_16", **kw, quant_int8=True)
+    static = get_model("clip_vit_b_16", **kw, quant_int8=True, quant_mode="static")
+
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(1, 224, 224, 3)), jnp.float32
+    )
+    variables = dict(base.init(jax.random.PRNGKey(0), x, train=False))
+
+    from clip_ebc_tpu.ops.quant import calibrate_int8
+
+    variables = calibrate_int8(
+        lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]),
+        variables, [x],
+    )
+    # every trunk resblock matmul got a positive scale
+    leaves = jax.tree.leaves(variables["quant"])
+    assert len(leaves) >= 12 * 4 and all(float(v) > 0 for v in leaves)
+
+    d_ref = np.asarray(base.apply(variables, x, train=False), np.float32)
+    d_s = np.asarray(static.apply(variables, x, train=False), np.float32)
+    c_ref, c_s = d_ref.sum(), d_s.sum()
+    assert abs(c_s - c_ref) <= 0.08 * max(abs(c_ref), 1.0), (c_ref, c_s)
