@@ -25,6 +25,7 @@ from flax import linen as nn
 from ..blocks import BatchNorm
 from ..transformer import (
     LayerNormF32,
+    PatchifyMatmul,
     ResidualAttentionBlock,
     interpolate_pos_embed,
     quick_gelu,
@@ -90,11 +91,9 @@ class ClipViT(nn.Module):
             raise ValueError(f"input {h}x{w} not divisible by patch {patch}")
         gh, gw = h // patch, w // patch
 
-        x = nn.Conv(
-            width, (patch, patch), strides=(patch, patch), padding="VALID",
-            use_bias=False, dtype=self.dtype, name="conv1",
+        x = PatchifyMatmul(
+            width, patch, use_bias=False, dtype=self.dtype, name="conv1"
         )(x)
-        x = x.reshape(b, gh * gw, width)
 
         scale = width**-0.5
         cls_tok = self.param(

@@ -194,6 +194,45 @@ class ResidualAttentionBlock(nn.Module):
         return x + h
 
 
+class PatchifyMatmul(nn.Module):
+    """ViT patch embedding computed as reshape + one matmul.
+
+    A stride==kernel VALID conv is a pure block reshape followed by a
+    (p*p*c, features) matmul; XLA's general conv lowering for stride-16
+    patchify measures ~19 TFLOP/s on v5e where the equivalent matmul runs
+    near peak (scripts/bisect_vit_module.py). Param name/shape match
+    nn.Conv ("kernel" (p, p, c, features) HWIO + optional "bias") so
+    converted checkpoints load unchanged. Returns (B, gh*gw, features).
+    """
+
+    features: int
+    patch: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch
+        b, h, w, c = x.shape
+        gh, gw = h // p, w // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, c, self.features),
+            jnp.float32,
+        )
+        x = (
+            x.reshape(b, gh, p, gw, p, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, gh * gw, p * p * c)
+        )
+        out = x @ kernel.astype(self.dtype).reshape(p * p * c, self.features)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            out = out + bias.astype(self.dtype)
+        return out
+
+
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray, grid_hw: tuple, new_hw: tuple
 ) -> jnp.ndarray:

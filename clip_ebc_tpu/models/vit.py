@@ -59,11 +59,9 @@ class ViTEncoder(nn.Module):
             raise ValueError(f"input {h}x{w} not divisible by patch {patch}")
         gh, gw = h // patch, w // patch
 
-        x = nn.Conv(
-            hidden, (patch, patch), strides=(patch, patch), padding="VALID",
-            dtype=self.dtype, name="patchify",
-        )(x)
-        x = x.reshape(b, gh * gw, hidden)
+        from .transformer import PatchifyMatmul
+
+        x = PatchifyMatmul(hidden, patch, dtype=self.dtype, name="patchify")(x)
 
         cls_tok = self.param(
             "class_token", nn.initializers.zeros, (1, 1, hidden), jnp.float32

@@ -49,11 +49,11 @@ def main():
         v = model.init(jax.random.PRNGKey(0), x[:1], train=False)
 
         @jax.jit
-        def fwd(i):
-            out = model.apply(v, x + i.astype(x.dtype) * 1e-4, train=False)
+        def fwd(v, xx, i):  # traced args, not baked-in constants (relay 413)
+            out = model.apply(v, xx + i.astype(xx.dtype) * 1e-4, train=False)
             return out.astype(jnp.float32).sum()
 
-        t = timed(lambda i: fwd(jnp.asarray(float(i))), iters)
+        t = timed(lambda i: fwd(v, x, jnp.asarray(float(i))), iters)
         print(f"{name:34s} {t * 1e3:8.1f} ms")
         return t
 
@@ -67,10 +67,10 @@ def main():
     vc = conv.init(jax.random.PRNGKey(0), x[:1])
 
     @jax.jit
-    def patchify(i):
-        return conv.apply(vc, x + i.astype(x.dtype) * 1e-4).astype(jnp.float32).sum()
+    def patchify(vc, xx, i):
+        return conv.apply(vc, xx + i.astype(xx.dtype) * 1e-4).astype(jnp.float32).sum()
 
-    t_patch = timed(lambda i: patchify(jnp.asarray(float(i))), iters)
+    t_patch = timed(lambda i: patchify(vc, x, jnp.asarray(float(i))), iters)
     print(f"{'patchify conv alone':34s} {t_patch * 1e3:8.1f} ms")
 
     print(f"\ndeep-VPT per-layer overwrite cost:  {(t_vpt - t_shallow) * 1e3:+7.1f} ms")
