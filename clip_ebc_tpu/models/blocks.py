@@ -74,13 +74,15 @@ class ConvBNAct(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
     kernel_init: Any = kaiming_normal_out
+    conv_cls: Any = None  # e.g. ops.quant.Int8Conv; None = nn.Conv
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         kh, kw = self.kernel_size
         pad = ((kh - 1) // 2 * self.dilation, (kw - 1) // 2 * self.dilation)
         use_bias = (not self.use_bn) if self.use_bias is None else self.use_bias
-        x = nn.Conv(
+        conv_cls = nn.Conv if self.conv_cls is None else self.conv_cls
+        x = conv_cls(
             self.features,
             self.kernel_size,
             strides=self.strides,
@@ -89,6 +91,7 @@ class ConvBNAct(nn.Module):
             use_bias=use_bias,
             dtype=self.dtype,
             kernel_init=self.kernel_init,
+            name="Conv_0",  # stable scope: checkpoints are conv_cls-agnostic
         )(x)
         if self.use_bn:
             x = BatchNorm(dtype=self.dtype, axis_name=self.axis_name)(x, train)
@@ -104,14 +107,16 @@ class BasicBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    conv_cls: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
-        out = ConvBNAct(self.features, (3, 3), use_bn=True, dtype=self.dtype, axis_name=self.axis_name)(x, train)
-        out = ConvBNAct(self.features, (3, 3), use_bn=True, act=False, dtype=self.dtype, axis_name=self.axis_name)(out, train)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, conv_cls=self.conv_cls)
+        out = ConvBNAct(self.features, (3, 3), use_bn=True, **kw)(x, train)
+        out = ConvBNAct(self.features, (3, 3), use_bn=True, act=False, **kw)(out, train)
         if x.shape[-1] != self.features:
-            identity = ConvBNAct(self.features, (1, 1), use_bn=True, act=False, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+            identity = ConvBNAct(self.features, (1, 1), use_bn=True, act=False, **kw)(x, train)
         return nn.relu(out + identity)
 
 
@@ -129,17 +134,19 @@ class BottleneckBlock(nn.Module):
     expansion: int = 1
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    conv_cls: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.expansion != 1:
             raise NotImplementedError("decoder bottlenecks use expansion=1")
         identity = x
-        out = ConvBNAct(self.features, (1, 1), use_bn=True, dtype=self.dtype, axis_name=self.axis_name)(x, train)
-        out = ConvBNAct(self.features, (3, 3), use_bn=True, dtype=self.dtype, axis_name=self.axis_name)(out, train)
-        out = ConvBNAct(self.features * self.expansion, (1, 1), use_bn=True, act=False, dtype=self.dtype, axis_name=self.axis_name)(out, train)
+        kw = dict(dtype=self.dtype, axis_name=self.axis_name, conv_cls=self.conv_cls)
+        out = ConvBNAct(self.features, (1, 1), use_bn=True, **kw)(x, train)
+        out = ConvBNAct(self.features, (3, 3), use_bn=True, **kw)(out, train)
+        out = ConvBNAct(self.features * self.expansion, (1, 1), use_bn=True, act=False, **kw)(out, train)
         if x.shape[-1] != self.features * self.expansion:
-            identity = ConvBNAct(self.features * self.expansion, (1, 1), use_bn=True, act=False, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+            identity = ConvBNAct(self.features * self.expansion, (1, 1), use_bn=True, act=False, **kw)(x, train)
         return nn.relu(out + identity)
 
 
@@ -182,6 +189,7 @@ class ResNetStage(nn.Module):
     block: str = "basic"  # "basic" | "bottleneck"
     dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
+    conv_cls: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -189,9 +197,9 @@ class ResNetStage(nn.Module):
             if v == "U":
                 x = resize_bilinear(x, 2.0)
             elif self.block == "basic":
-                x = BasicBlock(int(v), dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                x = BasicBlock(int(v), dtype=self.dtype, axis_name=self.axis_name, conv_cls=self.conv_cls)(x, train)
             else:
-                x = BottleneckBlock(int(v), dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                x = BottleneckBlock(int(v), dtype=self.dtype, axis_name=self.axis_name, conv_cls=self.conv_cls)(x, train)
         return x
 
 

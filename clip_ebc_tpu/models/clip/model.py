@@ -147,8 +147,20 @@ class ClipEBC(nn.Module):
             block = self.decoder_block
         if self.decoder_cfg is not None:
             cfg = tuple(self.decoder_cfg)
+        decoder_conv_cls = None
+        if self.quant_int8:
+            import functools
+
+            from ...ops.quant import Int8Conv
+
+            # The decoder is FLOP-bound (~8 TFLOPs for ViT-B at 28^2) and
+            # int8 convs run 315 vs 189 TFLOP/s-equiv on v5e
+            # (scripts/bisect_conv_quant.py), so it quantizes alongside the
+            # trunk matmuls.
+            decoder_conv_cls = functools.partial(Int8Conv, quant_mode=self.quant_mode)
         self.image_decoder = ResNetStage(
-            cfg, block=block, dtype=self.dtype, axis_name=self.axis_name
+            cfg, block=block, dtype=self.dtype, axis_name=self.axis_name,
+            conv_cls=decoder_conv_cls,
         )
         self._decoder_out = int([c for c in cfg if c != "U"][-1])
         if self._decoder_out != self.clip_embed_dim:

@@ -135,6 +135,71 @@ class Int8Dense(nn.Module):
         return int8_matmul(x, kernel, bias, out_dtype=self.dtype)
 
 
+class Int8Conv(nn.Module):
+    """Drop-in for ``nn.Conv`` (same param names/shapes/init) whose
+    convolution runs int8 on the MXU — measured 315 vs 189 TFLOP/s-equiv
+    for the ClipEBC decoder's 3x3/768ch shape on v5e
+    (scripts/bisect_conv_quant.py). Weights: per-output-channel scales;
+    activations: per-tensor (static via the calibrated ``"quant"``
+    collection, else one in-graph max-reduction). Symmetric quantization
+    maps 0 -> 0, so zero padding is exact."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: tuple = (1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    kernel_init: Any = nn.initializers.lecun_normal()
+    quant_mode: str = "dynamic"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        kf = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, _EPS)
+        w_q = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+
+        xf = x.astype(jnp.float32)
+        if self.quant_mode == "static":
+            amax = self.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+            s_x = jnp.maximum(amax.value, _EPS * 127.0) / 127.0
+        else:
+            if not self.is_initializing() and self.is_mutable_collection("quant"):
+                amax = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                amax.value = jnp.maximum(amax.value, jnp.abs(xf).max())
+            s_x = jnp.maximum(jnp.abs(xf).max() / 127.0, _EPS)
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        acc = jax.lax.conv_general_dilated(
+            x_q, w_q, self.strides, pad,
+            rhs_dilation=self.kernel_dilation, dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        out = acc.astype(jnp.float32) * (s_x * s_w)
+        if bias is not None:
+            out = out + bias
+        return out.astype(self.dtype)
+
+
 def calibrate_int8(apply_fn, variables, batches):
     """Record per-matmul activation max-abs over representative ``batches``.
 

@@ -164,3 +164,61 @@ def test_clip_ebc_static_quant_end_to_end():
     d_s = np.asarray(static.apply(variables, x, train=False), np.float32)
     c_ref, c_s = d_ref.sum(), d_s.sum()
     assert abs(c_s - c_ref) <= 0.08 * max(abs(c_ref), 1.0), (c_ref, c_s)
+
+
+def test_int8_conv_matches_conv():
+    """Int8Conv: param tree identical to nn.Conv; output within
+    quantization tolerance of the fp32 conv."""
+    from clip_ebc_tpu.ops.quant import Int8Conv
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    conv = nn.Conv(24, (3, 3), padding=((1, 1), (1, 1)))
+    v = conv.init(jax.random.PRNGKey(0), x)
+    q = Int8Conv(24, (3, 3), padding=((1, 1), (1, 1)), dtype=jnp.float32)
+    vq = q.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(lambda a: (a.shape, a.dtype), v) == jax.tree.map(
+        lambda a: (a.shape, a.dtype), vq
+    )
+    ref = np.asarray(conv.apply(v, x))
+    got = np.asarray(q.apply(v, x))
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_int8_conv_static_calibration():
+    from clip_ebc_tpu.ops.quant import Int8Conv, calibrate_int8
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    conv = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))
+    v = dict(conv.init(jax.random.PRNGKey(0), x))
+    dyn = Int8Conv(8, (3, 3), padding=((1, 1), (1, 1)), dtype=jnp.float32)
+    static = Int8Conv(
+        8, (3, 3), padding=((1, 1), (1, 1)), dtype=jnp.float32, quant_mode="static"
+    )
+    v = calibrate_int8(lambda vv, b: dyn.apply(vv, b, mutable=["quant"]), v, [x])
+    ref = np.asarray(conv.apply(v, x))
+    got = np.asarray(static.apply(v, x))
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_clip_ebc_int8_decoder_param_compat():
+    """quant_int8 must not change the ClipEBC param tree (decoder conv
+    scope pinned to Conv_0), so trained/converted checkpoints load as-is."""
+    from clip_ebc_tpu.config import get_bins_and_anchors
+    from clip_ebc_tpu.models import get_model
+
+    bins, anchors = get_bins_and_anchors(
+        reduction=8, truncation=4, dataset="qnrf",
+        granularity="fine", anchor_points="average",
+    )
+    kw = dict(input_size=224, reduction=8, bins=bins, anchor_points=anchors,
+              num_vpt=2, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    base = get_model("clip_vit_b_16", **kw)
+    quant = get_model("clip_vit_b_16", **kw, quant_int8=True)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+    vq = quant.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(lambda a: a.shape, vq)
