@@ -23,8 +23,10 @@ A100_EST_IMGS_PER_SEC = 1200.0
 
 
 def bench_train() -> None:
-    """Secondary mode (BENCH_MODE=train): vgg19_ae 448^2 train crops/s/chip,
-    the BASELINE.md training metric."""
+    """Secondary modes: BENCH_MODE=train (vgg19_ae 448^2 train crops/s, the
+    BASELINE.md training metric) and BENCH_MODE=train_flagship
+    (clip_vit_b_16 224^2 VPT-32 train crops/s — exercises the frozen-trunk
+    stop_gradient pruning and hoisted text features)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -36,11 +38,20 @@ def bench_train() -> None:
     from clip_ebc_tpu.models import get_model
     from clip_ebc_tpu.training import Trainer
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    cfg = ExperimentConfig(
-        dataset="nwpu", model="vgg19_ae", input_size=448, reduction=8,
-        truncation=4, count_loss="dmcount", batch_size=batch, amp=True,
-    ).normalize()
+    flagship = os.environ.get("BENCH_MODE") == "train_flagship"
+    batch = int(os.environ.get("BENCH_BATCH", "16" if not flagship else "32"))
+    count_loss = os.environ.get("BENCH_COUNT_LOSS", "dmcount")
+    if flagship:
+        cfg = ExperimentConfig(
+            dataset="qnrf", model="clip_vit_b_16", input_size=224, reduction=8,
+            truncation=4, count_loss=count_loss, batch_size=batch, amp=True,
+            num_vpt=32, prompt_type="word",
+        ).normalize()
+    else:
+        cfg = ExperimentConfig(
+            dataset="nwpu", model="vgg19_ae", input_size=448, reduction=8,
+            truncation=4, count_loss="dmcount", batch_size=batch, amp=True,
+        ).normalize()
     model = get_model(cfg.model, cfg.input_size, cfg.reduction, cfg.bins,
                       cfg.bin_anchors, dtype=jnp.bfloat16)
     trainer = Trainer(cfg, model, make_loss_fn(cfg))
@@ -50,9 +61,11 @@ def bench_train() -> None:
     density = np.zeros((batch, hw, hw), np.float32)
     for i in range(batch):
         for x, y in pts[i]:
-            density[i, int(y) // 8, int(x) // 8] += 1.0
+            density[i, int(y) // cfg.reduction, int(x) // cfg.reduction] += 1.0
     b = Batch(
-        images=rng.normal(size=(batch, 448, 448, 3)).astype(np.float32),
+        images=rng.normal(
+            size=(batch, cfg.input_size, cfg.input_size, 3)
+        ).astype(np.float32),
         points=pts,
         point_mask=np.ones((batch, 256), bool),
         density=density,
@@ -74,16 +87,21 @@ def bench_train() -> None:
         float(info["loss"])  # force real execution through the relay
     dt = time.perf_counter() - t0
     crops_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vgg19_ae_448_train_throughput",
-                "value": round(crops_per_sec, 2),
-                "unit": "448^2 crops/s/chip (bf16, dmcount loss)",
-                "vs_baseline": round(crops_per_sec / 200.0, 3),  # ~A100 torch AMP est.
-            }
-        )
-    )
+    if flagship:
+        metric = {
+            "metric": "clip_vit_b16_vpt_224_train_throughput",
+            "value": round(crops_per_sec, 2),
+            "unit": "224^2 crops/s/chip (bf16, VPT-32 frozen trunk, dmcount loss)",
+            "vs_baseline": round(crops_per_sec / 700.0, 3),  # ~A100 torch AMP est.
+        }
+    else:
+        metric = {
+            "metric": "vgg19_ae_448_train_throughput",
+            "value": round(crops_per_sec, 2),
+            "unit": "448^2 crops/s/chip (bf16, dmcount loss)",
+            "vs_baseline": round(crops_per_sec / 200.0, 3),  # ~A100 torch AMP est.
+        }
+    print(json.dumps(metric))
 
 
 def main() -> None:
@@ -95,7 +113,7 @@ def main() -> None:
     batched on GPU but assembles overlaps on the host in numpy
     (reference utils/eval_utils.py:26-96), so per-window pipeline
     throughput is the honest apples-to-apples unit."""
-    if os.environ.get("BENCH_MODE") == "train":
+    if os.environ.get("BENCH_MODE") in ("train", "train_flagship"):
         bench_train()
         return
     import jax
