@@ -163,6 +163,8 @@ class ClipViT(nn.Module):
                 dense_cls=dense_cls,
                 fused_qkv=self.fused_qkv,
                 kv_len=kv_len,
+                quant_int8=self.quant_int8,
+                quant_mode=self.quant_mode,
                 name=f"resblock_{i}",
             )
             if use_vpt and self.deep_vpt and i > 0:

@@ -109,6 +109,50 @@ def make_dense_cls(quant_int8: bool, quant_mode: str = "dynamic") -> Callable:
     return functools.partial(Int8Dense, quant_mode=quant_mode)
 
 
+class _LNParamLeaf(nn.Module):
+    """Declares nn.LayerNorm's scale/bias without computing — scoped so the
+    param paths match a real LayerNormF32 ("<name>/LayerNorm_0/...")."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNParamLeaf(self.dim, name="LayerNorm_0")()
+
+
+class _ProjParams(nn.Module):
+    """Declares an nn.Dense-shaped kernel/bias (and, for the static-int8
+    path, the same ``quant/act_amax`` variable Int8Dense uses) without
+    applying it — the fused LN+qkv kernel consumes the raw weights."""
+
+    features: int
+    quant_amax: bool = False
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        amax = None
+        if self.quant_amax:
+            amax = self.variable(
+                "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+            ).value
+        return k, b, amax
+
+
 class MultiHeadAttention(nn.Module):
     """Joint-QKV multi-head attention (torch nn.MultiheadAttention layout:
     a single in-projection so converted checkpoints map 1:1).
@@ -117,7 +161,13 @@ class MultiHeadAttention(nn.Module):
     Pallas fused-attention kernel directly — no head split/transpose and
     no HBM score tensor (ops/fused_attention.py). ``kv_len`` marks the
     real sequence length when the caller padded ``x`` (rows >= kv_len are
-    masked as keys)."""
+    masked as keys).
+
+    ``pre_ln=(scale, bias, eps)`` moves the preceding LayerNorm *into*
+    the kernel together with the qkv matmul (bf16, or int8 when
+    ``quant_int8`` + static mode): x is read from HBM once and only the
+    attention output is written back (ops/fused_attention.py
+    fused_ln_qkv_attention*)."""
 
     num_heads: int
     dtype: Any = jnp.float32
@@ -125,15 +175,47 @@ class MultiHeadAttention(nn.Module):
     dense_cls: Callable = nn.Dense
     fused_qkv: bool = False
     kv_len: Optional[int] = None
+    quant_int8: bool = False
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        pre_ln: Optional[tuple] = None,
     ) -> jnp.ndarray:
         b, l, d = x.shape
         if d % self.num_heads:
             raise ValueError(f"dim {d} not divisible by heads {self.num_heads}")
         dh = d // self.num_heads
+
+        if pre_ln is not None:
+            if mask is not None or not self.fused_qkv:
+                raise ValueError("pre_ln requires fused_qkv and no mask")
+            from ..ops.fused_attention import (
+                fused_ln_qkv_attention,
+                fused_ln_qkv_attention_int8,
+            )
+
+            static_q = self.quant_int8 and self.quant_mode == "static"
+            g, bb, eps = pre_ln
+            k, bias, amax = _ProjParams(
+                3 * d, quant_amax=static_q, name="in_proj"
+            )(d)
+            kv = self.kv_len or l
+            if static_q:
+                act_scale = jnp.maximum(amax, 1e-8 * 127.0) / 127.0
+                out = fused_ln_qkv_attention_int8(
+                    x, g, bb, k, bias, act_scale,
+                    self.num_heads, kv, dh**-0.5, eps,
+                )
+            else:
+                out = fused_ln_qkv_attention(
+                    x, g, bb, k, bias, self.num_heads, kv, dh**-0.5, eps
+                )
+            return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
+
         qkv = self.dense_cls(3 * d, dtype=self.dtype, name="in_proj")(x)
 
         if self.fused_qkv and mask is None:
@@ -164,7 +246,13 @@ class MultiHeadAttention(nn.Module):
 
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN block: x + MHA(ln1(x)); x + MLP(ln2(x))
-    (reference models/clip/_clip/blocks.py:22-42)."""
+    (reference models/clip/_clip/blocks.py:22-42).
+
+    On the fused-qkv path (no mask), ln_1 is folded into the Pallas
+    LN+qkv+attention kernel. Calibration passes (mutable "quant") take
+    the unfused path so Int8Dense records the in_proj activation range
+    the static kernel later consumes — same param/variable tree either
+    way."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -175,18 +263,32 @@ class ResidualAttentionBlock(nn.Module):
     dense_cls: Callable = nn.Dense
     fused_qkv: bool = False
     kv_len: Optional[int] = None
+    quant_int8: bool = False
+    quant_mode: str = "dynamic"
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         d = x.shape[-1]
-        h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
-        x = x + MultiHeadAttention(
+        attn = MultiHeadAttention(
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             dense_cls=self.dense_cls, fused_qkv=self.fused_qkv,
-            kv_len=self.kv_len, name="attn",
-        )(h, mask)
+            kv_len=self.kv_len, quant_int8=self.quant_int8,
+            quant_mode=self.quant_mode, name="attn",
+        )
+        fuse_ln = (
+            self.fused_qkv
+            and mask is None
+            and not self.is_initializing()
+            and not self.is_mutable_collection("quant")
+        )
+        if fuse_ln:
+            g, bb = _LNParams(d, name="ln_1")()
+            x = x + attn(x, pre_ln=(g, bb, self.ln_epsilon))
+        else:
+            h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
+            x = x + attn(h, mask)
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
         h = self.dense_cls(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
         h = self.act(h)

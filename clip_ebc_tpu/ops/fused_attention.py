@@ -61,12 +61,14 @@ def supports(num_heads: int, head_dim: int) -> bool:
     return head_dim == 64 and num_heads % 2 == 0
 
 
-def _kernel(qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float):
-    blk, lp, _ = qkv_ref.shape
+def _pair_attention_body(qkv, o_ref, num_heads: int, kv_len: int, sm_scale: float):
+    """Shared head-pair lane-packed attention: ``qkv`` (blk, lp, 3D) in
+    registers/VMEM -> writes (blk, lp, D) into ``o_ref``."""
+    blk, lp, _ = qkv.shape
     d = num_heads * 64
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-    m_even = (lanes < 64).astype(qkv_ref.dtype)
-    m_odd = (lanes >= 64).astype(qkv_ref.dtype)
+    m_even = (lanes < 64).astype(qkv.dtype)
+    m_odd = (lanes >= 64).astype(qkv.dtype)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), 2)
     kv_mask = cols < kv_len  # padded rows only ever appear as masked keys
 
@@ -74,12 +76,12 @@ def _kernel(qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float):
         s = jnp.where(kv_mask, s * sm_scale, NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
-        return (p / jnp.sum(p, axis=2, keepdims=True)).astype(qkv_ref.dtype)
+        return (p / jnp.sum(p, axis=2, keepdims=True)).astype(qkv.dtype)
 
     for c in range(num_heads // 2):
-        q2 = qkv_ref[:, :, 128 * c : 128 * (c + 1)]  # (blk, lp, 128)
-        k2 = qkv_ref[:, :, d + 128 * c : d + 128 * (c + 1)]
-        v2 = qkv_ref[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)]
+        q2 = qkv[:, :, 128 * c : 128 * (c + 1)]  # (blk, lp, 128)
+        k2 = qkv[:, :, d + 128 * c : d + 128 * (c + 1)]
+        v2 = qkv[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)]
         dn = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
         s_even = jax.lax.dot_general(
             q2 * m_even, k2, dn, preferred_element_type=jnp.float32
@@ -96,6 +98,10 @@ def _kernel(qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float):
             preferred_element_type=jnp.float32,
         )
         o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
+
+
+def _kernel(qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float):
+    _pair_attention_body(qkv_ref[...], o_ref, num_heads, kv_len, sm_scale)
 
 
 def _forward(qkv, num_heads, kv_len, sm_scale, block_b, interpret):
@@ -157,6 +163,7 @@ def fused_qkv_attention(
     """
     if not supports(num_heads, qkv.shape[-1] // 3 // num_heads):
         return _reference(qkv, num_heads, kv_len, sm_scale)
+    interpret = interpret or jax.default_backend() != "tpu"
     return _forward(qkv, num_heads, kv_len, sm_scale, block_b, interpret)
 
 
@@ -170,3 +177,189 @@ def _bwd(num_heads, kv_len, sm_scale, block_b, interpret, qkv, g):
 
 
 fused_qkv_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# LN + qkv projection + attention, one kernel
+# ---------------------------------------------------------------------------
+#
+# The unfused eval layer round-trips three big tensors through HBM per
+# layer: the fp32-safe LN output (2x ~200 MB at the flagship shape), the
+# quantized/bf16 matmul input, and the (B, L, 3D) qkv tensor (2x ~600 MB).
+# W_qkv (768x2304) fits VMEM, so the whole pre-attention chain runs in one
+# pallas_call: x is read once, LN statistics and the qkv projection happen
+# on-chip (int8 MXU when quantized weights + a calibrated activation scale
+# are given, bf16 otherwise), and the pair-packed attention follows
+# immediately — only the (B, L, D) attention output is written back.
+
+
+def _ln_qkv_kernel(
+    x_ref, g_ref, b_ref, w_ref, sw_ref, bias_ref, inv_act_ref, o_ref,
+    *, num_heads: int, kv_len: int, sm_scale: float, eps: float,
+):
+    blk, lp, d = x_ref.shape
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=2, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=2, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].reshape(1, 1, d) + b_ref[...].reshape(1, 1, d)
+
+    dn = (((1,), (0,)), ((), ()))
+    if w_ref.dtype == jnp.int8:  # W8A8: per-tensor act scale, int8 MXU
+        # the matching dequant (x act_scale) is pre-folded into sw_ref
+        yq = jnp.clip(
+            jnp.round(y * inv_act_ref[0]), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            yq.reshape(blk * lp, d), w_ref[...], dn,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            y.astype(o_ref.dtype).reshape(blk * lp, d), w_ref[...], dn,
+            preferred_element_type=jnp.float32,
+        )
+    qkv = acc * sw_ref[...].reshape(1, 3 * d) + bias_ref[...].reshape(1, 3 * d)
+    qkv = qkv.astype(o_ref.dtype).reshape(blk, lp, 3 * d)
+    _pair_attention_body(qkv, o_ref, num_heads, kv_len, sm_scale)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "kv_len", "sm_scale", "eps", "block_b",
+                     "interpret"),
+)
+def _ln_qkv_forward(
+    x, ln_scale, ln_bias, w, s_w, bias, inv_act,
+    num_heads, kv_len, sm_scale, eps, block_b, interpret,
+):
+    b, l, d = x.shape
+    lp = _round_up(l, 128)
+    if lp != l:
+        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    bp = _round_up(b, block_b)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_kernel, num_heads=num_heads, kv_len=kv_len,
+            sm_scale=sm_scale, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, lp, d), x.dtype),
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((3 * d,), lambda i: (0,)),
+            pl.BlockSpec((3 * d,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w, s_w, bias, inv_act)
+    return out[:b, :l]
+
+
+def _ln_qkv_reference(
+    x, ln_scale, ln_bias, w, s_w, bias, num_heads, kv_len, sm_scale, eps
+):
+    """Float oracle on the same inputs (backward recompute / tests); the
+    int8 path differs only by quantization rounding."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    qkv = (y.astype(x.dtype) @ w.astype(x.dtype)).astype(jnp.float32)
+    qkv = (qkv * s_w + bias).astype(x.dtype)
+    return _reference(qkv, num_heads, kv_len, sm_scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def fused_ln_qkv_attention(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_heads: int,
+    kv_len: int,
+    sm_scale: float,
+    eps: float = 1e-5,
+    block_b: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LayerNorm -> joint qkv projection (bf16) -> pair-packed attention,
+    one pallas_call. ``w`` (D, 3D) fp32/bf16 kernel, ``bias`` the qkv
+    bias. Rows at index >= kv_len are padding (masked as keys; their
+    outputs are unspecified). Differentiable via reference recompute."""
+    ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
+    one = jnp.ones((1,), jnp.float32)
+    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+        return _ln_qkv_reference(
+            x, ln_scale, ln_bias, w.astype(jnp.float32), ones,
+            bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
+        )
+    interpret = interpret or jax.default_backend() != "tpu"
+    return _ln_qkv_forward(
+        x, ln_scale, ln_bias, w.astype(x.dtype), ones,
+        bias.astype(jnp.float32), one,
+        num_heads, kv_len, sm_scale, eps, block_b, interpret,
+    )
+
+
+def _lqa_fwd(x, ln_scale, ln_bias, w, bias, *static):
+    out = fused_ln_qkv_attention(x, ln_scale, ln_bias, w, bias, *static)
+    return out, (x, ln_scale, ln_bias, w, bias)
+
+
+def _lqa_bwd(num_heads, kv_len, sm_scale, eps, block_b, interpret, res, g):
+    x, ln_scale, ln_bias, w, bias = res
+    ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
+    _, vjp = jax.vjp(
+        lambda xx, gs, gb, ww, bb: _ln_qkv_reference(
+            xx, gs, gb, ww.astype(jnp.float32), ones, bb.astype(jnp.float32),
+            num_heads, kv_len, sm_scale, eps,
+        ),
+        x, ln_scale, ln_bias, w, bias,
+    )
+    return vjp(g)
+
+
+fused_ln_qkv_attention.defvjp(_lqa_fwd, _lqa_bwd)
+
+
+def fused_ln_qkv_attention_int8(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    act_scale: jnp.ndarray,
+    num_heads: int,
+    kv_len: int,
+    sm_scale: float,
+    eps: float = 1e-5,
+    block_b: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """W8A8 variant (inference only, not differentiable): ``w`` is the
+    fp32 master kernel, quantized per-output-column here; ``act_scale``
+    the calibrated per-tensor scale of the LN output (scalar array)."""
+    wf = w.astype(jnp.float32)
+    s_col = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-8)  # (3D,)
+    w_q = jnp.clip(jnp.round(wf / s_col), -127, 127).astype(jnp.int8)
+    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+        return _ln_qkv_reference(
+            x, ln_scale, ln_bias, wf, jnp.ones_like(s_col),
+            bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
+        )
+    act_scale = jnp.asarray(act_scale, jnp.float32).reshape(())
+    interpret = interpret or jax.default_backend() != "tpu"
+    return _ln_qkv_forward(
+        x, ln_scale, ln_bias, w_q, s_col * act_scale,
+        bias.astype(jnp.float32), (1.0 / act_scale).reshape(1),
+        num_heads, kv_len, sm_scale, eps, block_b, interpret,
+    )

@@ -5,6 +5,9 @@ show where the per-window milliseconds go (trunk / decoder+head / gather /
 assembly). Relay-safe methodology: perturbed inputs, scalar fetches.
 
 Usage: python scripts/profile_pipeline.py [n_iters]
+Env: PROFILE_QUANT=int8_static|int8 quantizes trunk matmuls + decoder
+convs like the bench's deployment path (static mode self-calibrates on
+one random batch first).
 """
 
 import os
@@ -47,11 +50,29 @@ def main():
         jax.random.normal(jax.random.PRNGKey(1), (bucket, 224, 224, 3)), jnp.bfloat16
     )
 
+    quant_env = os.environ.get("PROFILE_QUANT", "none")
     for dec_pre in (False, True):
-        model, _ = _flagship(dtype=jnp.bfloat16, decoder_before_upsample=dec_pre)
+        model, _ = _flagship(
+            dtype=jnp.bfloat16, decoder_before_upsample=dec_pre,
+            quant_int8=quant_env.startswith("int8"),
+            quant_mode="static" if quant_env == "int8_static" else "dynamic",
+        )
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16), train=False
         )
+        if quant_env == "int8_static":
+            from clip_ebc_tpu.ops.quant import calibrate_int8
+
+            dyn, _ = _flagship(
+                dtype=jnp.bfloat16, decoder_before_upsample=dec_pre, quant_int8=True
+            )
+            calib = jax.random.normal(
+                jax.random.PRNGKey(2), (16, 224, 224, 3), jnp.bfloat16
+            )
+            variables = calibrate_int8(
+                jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"])),
+                dict(variables), [calib],
+            )
         text_feats = jax.jit(lambda v: model.apply(v, method="encode_text"))(variables)
 
         def forward(v, images):

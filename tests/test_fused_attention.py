@@ -121,3 +121,150 @@ def test_clip_vit_padded_trunk_matches_sdpa(num_vpt):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# fused LN + qkv projection + attention
+# ---------------------------------------------------------------------------
+
+
+def _lnqkv_inputs(b, l, d, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, l, d)), dtype)
+    g = jnp.asarray(rng.uniform(0.8, 1.2, d), jnp.float32)
+    be = jnp.asarray(rng.normal(size=d) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(d, 3 * d)) * 0.05, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=3 * d) * 0.02, jnp.float32)
+    return x, g, be, w, bias
+
+
+def test_fused_ln_qkv_matches_reference():
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+    )
+
+    b, l, h, d = 2, 128, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d)
+    sm = (d // h) ** -0.5
+    out = fused_ln_qkv_attention(x, g, be, w, bias, h, l, sm)
+    ref = _ln_qkv_reference(
+        x, g, be, w, jnp.ones((3 * d,), jnp.float32), bias, h, l, sm, 1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ln_qkv_padded_kv():
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+    )
+
+    b, l, kv, h, d = 1, 256, 229, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=1)
+    sm = (d // h) ** -0.5
+    out = fused_ln_qkv_attention(x, g, be, w, bias, h, kv, sm)
+    ref = _ln_qkv_reference(
+        x[:, :kv], g, be, w, jnp.ones((3 * d,), jnp.float32), bias, h, kv, sm, 1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[:, :kv]), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_ln_qkv_int8_close():
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention_int8,
+    )
+
+    b, l, h, d = 1, 128, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=2)
+    sm = (d // h) ** -0.5
+    # true LN-output max-abs as the calibrated scale
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    y = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True) + 1e-5)
+    y = y * np.asarray(g) + np.asarray(be)
+    act_scale = jnp.asarray(np.abs(y).max() / 127.0)
+    out = fused_ln_qkv_attention_int8(x, g, be, w, bias, act_scale, h, l, sm)
+    ref = _ln_qkv_reference(
+        x, g, be, w, jnp.ones((3 * d,), jnp.float32), bias, h, l, sm, 1e-5
+    )
+    # int8 quantization noise; attention softmax compresses it further
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert np.median(err) < 0.02 * (np.abs(np.asarray(ref)).max() + 1e-6)
+
+
+def test_fused_ln_qkv_gradients():
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+    )
+
+    b, l, h, d = 1, 64, 8, 512
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=3)
+    sm = (d // h) ** -0.5
+    ones = jnp.ones((3 * d,), jnp.float32)
+
+    g1 = jax.grad(
+        lambda xx, ww: fused_ln_qkv_attention(xx, g, be, ww, bias, h, l, sm).sum(),
+        argnums=(0, 1),
+    )(x, w)
+    g2 = jax.grad(
+        lambda xx, ww: _ln_qkv_reference(
+            xx, g, be, ww, ones, bias, h, l, sm, 1e-5
+        ).sum(),
+        argnums=(0, 1),
+    )(x, w)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_block_fused_ln_path_matches_unfused():
+    """ResidualAttentionBlock with fused_qkv=True (fused-LN kernel path)
+    must equal the plain sdpa block with the same params."""
+    from clip_ebc_tpu.models.transformer import ResidualAttentionBlock
+
+    b, l, h, d = 2, 100, 12, 768
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(b, l, d)), jnp.float32)
+    base = ResidualAttentionBlock(num_heads=h)
+    v = base.init(jax.random.PRNGKey(0), x)
+    ref = base.apply(v, x)
+    # pad like the trunks do, mark real length
+    lp = -(-l // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    fused = ResidualAttentionBlock(num_heads=h, fused_qkv=True, kv_len=l)
+    got = fused.apply(v, xp)[:, :l]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_block_fused_ln_static_int8_runs():
+    """Static-int8 block: calibration (unfused, records in_proj amax) then
+    the fused int8 kernel path; output stays close to fp32."""
+    import functools
+
+    from clip_ebc_tpu.models.transformer import ResidualAttentionBlock
+    from clip_ebc_tpu.ops.quant import Int8Dense, calibrate_int8
+
+    b, l, h, d = 1, 128, 12, 768
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(b, l, d)), jnp.float32)
+    dense = functools.partial(Int8Dense, quant_mode="static")
+    blk = ResidualAttentionBlock(
+        num_heads=h, fused_qkv=True, kv_len=l, quant_int8=True,
+        quant_mode="static", dense_cls=dense,
+    )
+    dyn = ResidualAttentionBlock(
+        num_heads=h, fused_qkv=True, kv_len=l, quant_int8=True,
+        quant_mode="dynamic", dense_cls=Int8Dense,
+    )
+    v = dict(blk.init(jax.random.PRNGKey(0), x))
+    v = calibrate_int8(lambda vv, bb: dyn.apply(vv, bb, mutable=["quant"]), v, [x])
+    got = np.asarray(blk.apply(v, x), np.float32)
+
+    ref = np.asarray(
+        ResidualAttentionBlock(num_heads=h).apply({"params": v["params"]}, x),
+        np.float32,
+    )
+    err = np.abs(got - ref)
+    assert np.median(err) < 0.05 * (np.abs(ref).max() + 1e-6), np.median(err)
