@@ -289,6 +289,12 @@ class ResidualAttentionBlock(nn.Module):
         else:
             h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
             x = x + attn(h, mask)
+
+        # NOTE: a fully-fused W8A8 MLP kernel exists
+        # (ops/fused_attention.fused_ln_mlp_int8) but measured SLOWER than
+        # XLA's int8 matmul pair at the flagship shape (trunk 113 vs 105 ms
+        # on v5e) — Mosaic's in-kernel dot falls short of XLA's int8 conv
+        # emitter here, so the block keeps the unfused MLP.
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
         h = self.dense_cls(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
         h = self.act(h)

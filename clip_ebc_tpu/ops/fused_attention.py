@@ -331,6 +331,107 @@ def _lqa_bwd(num_heads, kv_len, sm_scale, eps, block_b, interpret, res, g):
 fused_ln_qkv_attention.defvjp(_lqa_fwd, _lqa_bwd)
 
 
+def _ln_mlp_kernel(
+    x_ref, g_ref, b_ref, wfc_ref, sfc_ref, bfc_ref, wpj_ref, spj_ref,
+    bpj_ref, inv1_ref, inv2_ref, o_ref,
+    *, eps: float, quick: bool,
+):
+    blk, lp, d = x_ref.shape
+    hidden = wfc_ref.shape[1]
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=2, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=2, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[...].reshape(1, 1, d) + b_ref[...].reshape(1, 1, d)
+
+    dn = (((1,), (0,)), ((), ()))
+    yq = jnp.clip(jnp.round(y * inv1_ref[0]), -127, 127).astype(jnp.int8)
+    h = jax.lax.dot_general(
+        yq.reshape(blk * lp, d), wfc_ref[...], dn,
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sfc_ref[...].reshape(1, hidden) + bfc_ref[...].reshape(
+        1, hidden
+    )
+    if quick:  # QuickGELU (CLIP): x * sigmoid(1.702 x)
+        h = h * jax.lax.logistic(1.702 * h)
+    else:  # nn.gelu's default tanh approximation (plain ViT blocks)
+        c = 0.7978845608028654  # sqrt(2/pi)
+        h = 0.5 * h * (1.0 + jnp.tanh(c * (h + 0.044715 * h * h * h)))
+    hq = jnp.clip(jnp.round(h * inv2_ref[0]), -127, 127).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        hq, wpj_ref[...], dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * spj_ref[...].reshape(1, d) + bpj_ref[...].reshape(1, d)
+    o_ref[...] = (xf + out.reshape(blk, lp, d)).astype(o_ref.dtype)
+
+
+def fused_ln_mlp_int8(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_fc: jnp.ndarray,
+    b_fc: jnp.ndarray,
+    act1: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    act2: jnp.ndarray,
+    quick_gelu: bool = True,
+    eps: float = 1e-5,
+    block_b: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + proj(gelu(fc(LN(x)))) with both matmuls on the int8 MXU and the
+    (B, L, 4D) hidden activations kept entirely in VMEM (inference only).
+
+    ``w_fc``/``w_proj`` are the fp32 master kernels (per-output-column
+    quantized here); ``act1``/``act2`` the calibrated per-tensor max-abs /
+    127 scales of the LN output and the GELU output. Padded rows pass
+    through harmlessly (pure per-token math)."""
+    wfc = w_fc.astype(jnp.float32)
+    wpj = w_proj.astype(jnp.float32)
+    s_fc = jnp.maximum(jnp.max(jnp.abs(wfc), axis=0) / 127.0, 1e-8)
+    s_pj = jnp.maximum(jnp.max(jnp.abs(wpj), axis=0) / 127.0, 1e-8)
+    wfc_q = jnp.clip(jnp.round(wfc / s_fc), -127, 127).astype(jnp.int8)
+    wpj_q = jnp.clip(jnp.round(wpj / s_pj), -127, 127).astype(jnp.int8)
+    act1 = jnp.asarray(act1, jnp.float32).reshape(())
+    act2 = jnp.asarray(act2, jnp.float32).reshape(())
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    b, l, d = x.shape
+    hidden = w_fc.shape[1]
+    lp = _round_up(l, 128)
+    if lp != l:
+        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    bp = _round_up(b, block_b)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps, quick=quick_gelu),
+        out_shape=jax.ShapeDtypeStruct((bp, lp, d), x.dtype),
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, hidden), lambda i: (0, 0)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden,), lambda i: (0,)),
+            pl.BlockSpec((hidden, d), lambda i: (0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+            pl.BlockSpec((1,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(
+        x, ln_scale, ln_bias, wfc_q, s_fc * act1, b_fc.astype(jnp.float32),
+        wpj_q, s_pj * act2, b_proj.astype(jnp.float32),
+        (1.0 / act1).reshape(1), (1.0 / act2).reshape(1),
+    )
+    return out[:b, :l]
+
+
 def fused_ln_qkv_attention_int8(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,

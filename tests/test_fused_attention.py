@@ -268,3 +268,59 @@ def test_block_fused_ln_static_int8_runs():
     )
     err = np.abs(got - ref)
     assert np.median(err) < 0.05 * (np.abs(ref).max() + 1e-6), np.median(err)
+
+
+def test_fused_ln_mlp_int8_close():
+    """x + proj(gelu(fc(LN(x)))) in one int8 kernel vs the fp32 chain."""
+    from clip_ebc_tpu.ops.fused_attention import fused_ln_mlp_int8
+    from clip_ebc_tpu.models.transformer import quick_gelu
+
+    rng = np.random.default_rng(9)
+    b, l, d = 2, 128, 768
+    x = jnp.asarray(rng.normal(size=(b, l, d)), jnp.float32)
+    g = jnp.asarray(rng.uniform(0.8, 1.2, d), jnp.float32)
+    be = jnp.asarray(rng.normal(size=d) * 0.1, jnp.float32)
+    wfc = jnp.asarray(rng.normal(size=(d, 4 * d)) * 0.03, jnp.float32)
+    bfc = jnp.asarray(rng.normal(size=4 * d) * 0.02, jnp.float32)
+    wpj = jnp.asarray(rng.normal(size=(4 * d, d)) * 0.03, jnp.float32)
+    bpj = jnp.asarray(rng.normal(size=d) * 0.02, jnp.float32)
+
+    xf = np.asarray(x)
+    mu = xf.mean(-1, keepdims=True)
+    y = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True) + 1e-5)
+    y = y * np.asarray(g) + np.asarray(be)
+    h = y @ np.asarray(wfc) + np.asarray(bfc)
+    act1 = jnp.asarray(np.abs(y).max() / 127.0)
+    hg = h * (1.0 / (1.0 + np.exp(-1.702 * h)))
+    act2 = jnp.asarray(np.abs(hg).max() / 127.0)
+    ref = xf + hg @ np.asarray(wpj) + np.asarray(bpj)
+
+    out = fused_ln_mlp_int8(x, g, be, wfc, bfc, act1, wpj, bpj, act2)
+    err = np.abs(np.asarray(out, np.float32) - ref)
+    assert np.median(err) < 0.03 * (np.abs(ref).max() + 1e-6), np.median(err)
+
+
+def test_fused_ln_mlp_int8_padding_passthrough():
+    """Padded rows are per-token math only: corrupting them must not change
+    real rows."""
+    from clip_ebc_tpu.ops.fused_attention import fused_ln_mlp_int8
+
+    rng = np.random.default_rng(10)
+    d = 512
+    x = rng.normal(size=(1, 128, d)).astype(np.float32)
+    x2 = x.copy()
+    x2[:, 100:] = 7.7
+    args = (
+        jnp.ones(d), jnp.zeros(d),
+        jnp.asarray(rng.normal(size=(d, 4 * d)) * 0.03, jnp.float32),
+        jnp.zeros(4 * d),
+        jnp.asarray(0.05),
+        jnp.asarray(rng.normal(size=(4 * d, d)) * 0.03, jnp.float32),
+        jnp.zeros(d),
+        jnp.asarray(0.05),
+    )
+    o1 = fused_ln_mlp_int8(jnp.asarray(x), *args)
+    o2 = fused_ln_mlp_int8(jnp.asarray(x2), *args)
+    np.testing.assert_allclose(
+        np.asarray(o1[:, :100]), np.asarray(o2[:, :100]), rtol=1e-6, atol=1e-6
+    )
