@@ -324,3 +324,30 @@ def test_fused_ln_mlp_int8_padding_passthrough():
     np.testing.assert_allclose(
         np.asarray(o1[:, :100]), np.asarray(o2[:, :100]), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fused_trunk_pod_sharded_sliding_window():
+    """The Pallas fused path must compose with the pod-sharded sliding
+    window (GSPMD partitions the pallas_call over the window batch)."""
+    from jax.sharding import Mesh
+
+    from clip_ebc_tpu.models.clip.image_encoder import ClipViT
+    from clip_ebc_tpu.ops.sliding_window import sliding_window_predict
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    model = ClipViT(variant="vit_b_16", input_size=96, num_vpt=2, fused_qkv=True)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, False)
+
+    def fwd(variables, images):
+        return model.apply(variables, images, False).mean(-1)
+
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(192, 288, 3)), jnp.float32
+    )
+    out = sliding_window_predict(
+        fwd, v, img, window=(96, 96), stride=(48, 48), reduction=16,
+        strategy="average", mesh=mesh,
+    )
+    assert out.shape == (12, 18)
+    assert np.isfinite(np.asarray(out)).all()
