@@ -1,0 +1,204 @@
+"""Generic inference driver: a directory (or list) of images -> per-image
+crowd counts, optionally density maps.
+
+The reference only ships the NWPU-specific submission driver
+(reference test_nwpu.py); this is the deployment-shaped equivalent for
+arbitrary images: same model/checkpoint/quantization flags as
+``cli.test_nwpu``, but it walks any directory of jpg/png/npy images and
+writes a CSV of counts (and ``.npy`` density maps with ``--save_density``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".npy")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict crowd counts for images.")
+    p.add_argument("images", type=str,
+                   help="image file, directory, or glob pattern")
+    p.add_argument("--model", type=str, default="clip_vit_b_16")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--reduction", type=int, default=8, choices=[8, 16, 32])
+    p.add_argument("--regression", action="store_true")
+    p.add_argument("--truncation", type=int, default=4)
+    p.add_argument("--anchor_points", type=str, default="average", choices=["average", "middle"])
+    p.add_argument("--prompt_type", type=str, default="word", choices=["word", "number"])
+    p.add_argument("--granularity", type=str, default="fine", choices=["fine", "dynamic", "coarse"])
+    p.add_argument("--bins_dataset", type=str, default="qnrf",
+                   help="dataset whose bin table to use (the bins were derived per dataset)")
+    p.add_argument("--num_vpt", type=int, default=32)
+    p.add_argument("--shallow_vpt", action="store_true")
+    p.add_argument("--weight_path", type=str, default=None)
+    p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--sliding_window", action="store_true")
+    p.add_argument("--window_size", type=int, default=None)
+    p.add_argument("--stride", type=int, default=None)
+    p.add_argument("--strategy", type=str, default="average", choices=["average", "max"])
+    p.add_argument("--pad_to_multiple", type=int, default=0)
+    p.add_argument("--amp", action="store_true")
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8", "int8_static"])
+    p.add_argument("--calib_images", type=int, default=2)
+    p.add_argument("--out", type=str, default="predictions.csv")
+    p.add_argument("--save_density", type=str, default=None,
+                   help="directory for per-image density .npy files")
+    return p
+
+
+def _list_images(spec: str):
+    if os.path.isdir(spec):
+        paths = [
+            p for p in sorted(glob.glob(os.path.join(spec, "*")))
+            if os.path.splitext(p)[1].lower() in IMG_EXTS
+        ]
+    elif os.path.isfile(spec):
+        paths = [spec]
+    else:
+        paths = sorted(glob.glob(spec))
+    if not paths:
+        raise SystemExit(f"no images found for {spec!r}")
+    return paths
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.sliding_window:
+        args.window_size = args.input_size if args.window_size is None else args.window_size
+        args.stride = args.window_size // 2 if args.stride is None else args.stride
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..config import get_bins_and_anchors
+    from ..data.crowd import _load_image, normalize_image
+    from ..models import get_model
+    from ..training.checkpoint import CheckpointManager
+    from ..training.evaluate import Evaluator
+
+    paths = _list_images(args.images)
+
+    bins = anchors = None
+    if not args.regression:
+        bins, anchors = get_bins_and_anchors(
+            args.reduction, args.truncation, args.bins_dataset,
+            args.granularity, args.anchor_points,
+        )
+    dtype = jnp.bfloat16 if args.amp else jnp.float32
+    model_kw = dict(
+        prompt_type=args.prompt_type, num_vpt=args.num_vpt,
+        deep_vpt=not args.shallow_vpt, dtype=dtype,
+        quant_int8=args.quant.startswith("int8"),
+    )
+    model = get_model(
+        args.model, args.input_size, args.reduction, bins, anchors,
+        quant_mode="static" if args.quant == "int8_static" else "dynamic",
+        **model_kw,
+    )
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, args.input_size, args.input_size, 3)), train=False,
+    )
+
+    if args.pretrained is None and args.weight_path is None:
+        raise SystemExit("one of --weight_path / --pretrained is required")
+    variables = None
+    if args.pretrained:
+        from ..models.pretrained import apply_pretrained
+
+        template = apply_pretrained(model, dict(template), args.pretrained)
+        variables = {"params": template["params"]}
+        if template.get("batch_stats"):
+            variables["batch_stats"] = template["batch_stats"]
+    if args.weight_path is not None:
+        weight_path = os.path.abspath(args.weight_path)
+        mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
+        weights_t = {"params": template["params"]}
+        if "batch_stats" in template:
+            weights_t["batch_stats"] = template["batch_stats"]
+        if os.path.isdir(os.path.join(weight_path, "latest")):
+            mgr = CheckpointManager(weight_path)
+            restored = mgr.restore_weights_from_state(
+                os.path.join(weight_path, "latest"), weights_t
+            )
+        else:
+            restored = mgr.restore_weights(weight_path, weights_t)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+
+    if args.quant == "int8_static":
+        variables = _calibrate(args, model_kw, bins, anchors, variables, paths)
+
+    evaluator = Evaluator(
+        model, reduction=args.reduction,
+        sliding_window=args.sliding_window, window_size=args.window_size,
+        stride=args.stride, strategy=args.strategy,
+        pad_to_multiple=args.pad_to_multiple,
+    )
+    if args.save_density:
+        os.makedirs(args.save_density, exist_ok=True)
+
+    rows = []
+    for i, path in enumerate(paths):
+        image = normalize_image(_load_image(path))
+        density = evaluator.predict_density(variables, image)
+        count = float(np.asarray(density, np.float32).sum())
+        rows.append(f"{os.path.basename(path)},{count:.2f}")
+        if args.save_density:
+            np.save(
+                os.path.join(
+                    args.save_density,
+                    os.path.splitext(os.path.basename(path))[0] + ".npy",
+                ),
+                np.asarray(density, np.float32),
+            )
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}/{len(paths)}")
+
+    with open(args.out, "w") as f:
+        f.write("image,count\n" + "\n".join(rows) + "\n")
+    print(f"wrote {args.out} ({len(rows)} images)")
+
+
+def _calibrate(args, model_kw, bins, anchors, variables, paths):
+    """Static-int8 calibration on the first --calib_images inputs."""
+    import jax
+    import numpy as np
+
+    from ..data.crowd import _load_image, normalize_image
+    from ..models import get_model
+    from ..ops.quant import calibrate_int8
+    from ..ops.sliding_window import window_grid
+
+    dyn = get_model(
+        args.model, args.input_size, args.reduction, bins, anchors,
+        quant_mode="dynamic", **model_kw,
+    )
+    win = args.window_size or args.input_size
+    batches = []
+    for path in paths[: args.calib_images]:
+        image = normalize_image(_load_image(path))
+        h, w = image.shape[:2]
+        if h < win or w < win:
+            pad = np.zeros((max(h, win), max(w, win), 3), image.dtype)
+            pad[:h, :w] = image
+            image, (h, w) = pad, pad.shape[:2]
+        coords = window_grid((h, w), (win, win), (win, win))[:16]
+        batches.append(
+            np.stack([image[y : y + win, x : x + win] for y, x in coords])
+        )
+    apply_fn = jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]))
+    variables = calibrate_int8(apply_fn, dict(variables), batches)
+    print(f"calibrated int8 scales on {len(batches)} image(s)")
+    return variables
+
+
+if __name__ == "__main__":
+    main()
