@@ -78,12 +78,14 @@ def bench_train() -> None:
     # with compute, so the chip-step time is the honest metric.
     b_dev = shard_batch(trainer.mesh, b)
     lr = jnp.asarray(1e-4, jnp.float32)
-    state, info = trainer._step(state, b_dev, lr)  # compile
+    # hoisted frozen text features, exactly as train_epoch passes them
+    text_feats = trainer.text_features(state)
+    state, info = trainer._step(state, b_dev, lr, text_feats)  # compile
     float(info["loss"])
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, info = trainer._step(state, b_dev, lr)
+        state, info = trainer._step(state, b_dev, lr, text_feats)
         float(info["loss"])  # force real execution through the relay
     dt = time.perf_counter() - t0
     crops_per_sec = batch * iters / dt

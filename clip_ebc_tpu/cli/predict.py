@@ -79,9 +79,10 @@ def main(argv=None) -> None:
     from ..config import get_bins_and_anchors
     from ..data.crowd import _load_image, normalize_image
     from ..models import get_model
-    from ..training.checkpoint import CheckpointManager
     from ..training.evaluate import Evaluator
+    from ._common import calibrate_static_int8, check_quant_support, load_weights
 
+    check_quant_support(args.quant, args.model)
     paths = _list_images(args.images)
 
     bins = anchors = None
@@ -106,35 +107,16 @@ def main(argv=None) -> None:
         jnp.zeros((1, args.input_size, args.input_size, 3)), train=False,
     )
 
-    if args.pretrained is None and args.weight_path is None:
-        raise SystemExit("one of --weight_path / --pretrained is required")
-    variables = None
-    if args.pretrained:
-        from ..models.pretrained import apply_pretrained
-
-        template = apply_pretrained(model, dict(template), args.pretrained)
-        variables = {"params": template["params"]}
-        if template.get("batch_stats"):
-            variables["batch_stats"] = template["batch_stats"]
-    if args.weight_path is not None:
-        weight_path = os.path.abspath(args.weight_path)
-        mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
-        weights_t = {"params": template["params"]}
-        if "batch_stats" in template:
-            weights_t["batch_stats"] = template["batch_stats"]
-        if os.path.isdir(os.path.join(weight_path, "latest")):
-            mgr = CheckpointManager(weight_path)
-            restored = mgr.restore_weights_from_state(
-                os.path.join(weight_path, "latest"), weights_t
-            )
-        else:
-            restored = mgr.restore_weights(weight_path, weights_t)
-        variables = {"params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
+    variables = load_weights(args, model, template)
 
     if args.quant == "int8_static":
-        variables = _calibrate(args, model_kw, bins, anchors, variables, paths)
+        variables = calibrate_static_int8(
+            args, model_kw, bins, anchors, variables,
+            (
+                normalize_image(_load_image(p))
+                for p in paths[: args.calib_images]
+            ),
+        )
 
     evaluator = Evaluator(
         model, reduction=args.reduction,
@@ -145,59 +127,28 @@ def main(argv=None) -> None:
     if args.save_density:
         os.makedirs(args.save_density, exist_ok=True)
 
-    rows = []
-    for i, path in enumerate(paths):
-        image = normalize_image(_load_image(path))
-        density = evaluator.predict_density(variables, image)
-        count = float(np.asarray(density, np.float32).sum())
-        rows.append(f"{os.path.basename(path)},{count:.2f}")
-        if args.save_density:
-            np.save(
-                os.path.join(
-                    args.save_density,
-                    os.path.splitext(os.path.basename(path))[0] + ".npy",
-                ),
-                np.asarray(density, np.float32),
-            )
-        if (i + 1) % 50 == 0:
-            print(f"{i + 1}/{len(paths)}")
-
+    # incremental write: one bad image must not lose prior results
+    n = 0
     with open(args.out, "w") as f:
-        f.write("image,count\n" + "\n".join(rows) + "\n")
-    print(f"wrote {args.out} ({len(rows)} images)")
-
-
-def _calibrate(args, model_kw, bins, anchors, variables, paths):
-    """Static-int8 calibration on the first --calib_images inputs."""
-    import jax
-    import numpy as np
-
-    from ..data.crowd import _load_image, normalize_image
-    from ..models import get_model
-    from ..ops.quant import calibrate_int8
-    from ..ops.sliding_window import window_grid
-
-    dyn = get_model(
-        args.model, args.input_size, args.reduction, bins, anchors,
-        quant_mode="dynamic", **model_kw,
-    )
-    win = args.window_size or args.input_size
-    batches = []
-    for path in paths[: args.calib_images]:
-        image = normalize_image(_load_image(path))
-        h, w = image.shape[:2]
-        if h < win or w < win:
-            pad = np.zeros((max(h, win), max(w, win), 3), image.dtype)
-            pad[:h, :w] = image
-            image, (h, w) = pad, pad.shape[:2]
-        coords = window_grid((h, w), (win, win), (win, win))[:16]
-        batches.append(
-            np.stack([image[y : y + win, x : x + win] for y, x in coords])
-        )
-    apply_fn = jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]))
-    variables = calibrate_int8(apply_fn, dict(variables), batches)
-    print(f"calibrated int8 scales on {len(batches)} image(s)")
-    return variables
+        f.write("image,count\n")
+        for i, path in enumerate(paths):
+            image = normalize_image(_load_image(path))
+            density = evaluator.predict_density(variables, image)
+            count = float(np.asarray(density, np.float32).sum())
+            f.write(f"{os.path.basename(path)},{count:.2f}\n")
+            f.flush()
+            n += 1
+            if args.save_density:
+                np.save(
+                    os.path.join(
+                        args.save_density,
+                        os.path.splitext(os.path.basename(path))[0] + ".npy",
+                    ),
+                    np.asarray(density, np.float32),
+                )
+            if (i + 1) % 50 == 0:
+                print(f"{i + 1}/{len(paths)}")
+    print(f"wrote {args.out} ({n} images)")
 
 
 if __name__ == "__main__":

@@ -29,8 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint dir: a best/* snapshot or a ckpt dir with latest/")
     p.add_argument("--pretrained", type=str, default=None,
                    help="torch checkpoint (.pt/.pth) to convert and load "
-                        "(e.g. a reference-trained CLIP-EBC state dict); "
-                        "applied before --weight_path if both are given")
+                        "(e.g. a reference-trained CLIP-EBC state dict). "
+                        "NOTE: --weight_path restores a complete trained "
+                        "snapshot and fully replaces it; --pretrained only "
+                        "matters when --weight_path is absent")
     p.add_argument("--sliding_window", action="store_true")
     p.add_argument("--window_size", type=int, default=None)
     p.add_argument("--stride", type=int, default=None, help="defaults to window_size//2 (reference test_nwpu.py:75)")
@@ -58,47 +60,6 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _calibrate(args, model_kw, bins, anchors, variables):
-    """Populate the ``"quant"`` collection: run a dynamic-quant twin of the
-    model (same params) over window batches of the first --calib_images
-    test images, recording per-matmul activation max-abs
-    (ops.quant.calibrate_int8)."""
-    import jax
-    import numpy as np
-
-    from ..data import NWPUTestDataset
-    from ..models import get_model
-    from ..ops.quant import calibrate_int8
-    from ..ops.sliding_window import window_grid
-
-    dyn = get_model(
-        args.model, args.input_size, args.reduction, bins, anchors,
-        quant_mode="dynamic", **model_kw,
-    )
-    dataset = NWPUTestDataset(
-        data_root=args.data_root, check_sizes=not args.disable_size_check
-    )
-    win = args.window_size or args.input_size
-    batches = []
-    for i in range(min(args.calib_images, len(dataset))):
-        image, _ = dataset[i]
-        image = np.asarray(image)
-        h, w = image.shape[:2]
-        if h < win or w < win:  # pad tiny images up to one window
-            pad = np.zeros((max(h, win), max(w, win), 3), image.dtype)
-            pad[:h, :w] = image
-            image, (h, w) = pad, pad.shape[:2]
-        coords = window_grid((h, w), (win, win), (win, win))[:16]
-        batches.append(
-            np.stack([image[y : y + win, x : x + win] for y, x in coords])
-        )
-
-    apply_fn = jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]))
-    variables = calibrate_int8(apply_fn, variables, batches)
-    print(f"calibrated int8 scales on {len(batches)} image(s)")
-    return variables
-
-
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.sliding_window:
@@ -109,15 +70,15 @@ def main(argv=None) -> None:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ..config import get_bins_and_anchors
     from ..data import NWPUTestDataset
     from ..data.transforms import Resize2Multiple, ZeroPad2Multiple
     from ..models import get_model
-    from ..training.checkpoint import CheckpointManager
     from ..training.evaluate import Evaluator
+    from ._common import calibrate_static_int8, check_quant_support, load_weights
 
+    check_quant_support(args.quant, args.model)
     bins = anchors = None
     if not args.regression:
         bins, anchors = get_bins_and_anchors(
@@ -139,39 +100,16 @@ def main(argv=None) -> None:
         jax.random.PRNGKey(0), jnp.zeros((1, args.input_size, args.input_size, 3)), train=False
     )
 
-    if args.pretrained is None and args.weight_path is None:
-        raise SystemExit("one of --weight_path / --pretrained is required")
-    if args.pretrained:
-        from ..models.pretrained import apply_pretrained
-
-        template = apply_pretrained(model, dict(template), args.pretrained)
-        if args.weight_path is None:
-            variables = {"params": template["params"]}
-            if template.get("batch_stats"):
-                variables["batch_stats"] = template["batch_stats"]
-
-    if args.weight_path is not None:
-        weight_path = os.path.abspath(args.weight_path)
-        if os.path.isdir(os.path.join(weight_path, "latest")):
-            mgr = CheckpointManager(weight_path)
-            restored = mgr.restore_weights_from_state(
-                os.path.join(weight_path, "latest"),
-                {"params": template["params"],
-                 "batch_stats": template.get("batch_stats", {})},
-            )
-            variables = {"params": restored["params"]}
-            if restored["batch_stats"]:
-                variables["batch_stats"] = restored["batch_stats"]
-        else:
-            # weights-only snapshot (best/*)
-            mgr = CheckpointManager(os.path.dirname(weight_path) or ".")
-            weights_t = {"params": template["params"]}
-            if "batch_stats" in template:
-                weights_t["batch_stats"] = template["batch_stats"]
-            variables = mgr.restore_weights(weight_path, weights_t)
+    variables = load_weights(args, model, template)
 
     if args.quant == "int8_static":
-        variables = _calibrate(args, model_kw, bins, anchors, variables)
+        calib_ds = NWPUTestDataset(
+            data_root=args.data_root, check_sizes=not args.disable_size_check
+        )
+        variables = calibrate_static_int8(
+            args, model_kw, bins, anchors, variables,
+            (calib_ds[i][0] for i in range(min(args.calib_images, len(calib_ds)))),
+        )
 
     transforms = None
     if args.sliding_window and args.resize_to_multiple:

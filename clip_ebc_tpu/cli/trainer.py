@@ -181,18 +181,20 @@ def main(argv=None) -> None:
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), next(iter(loader)))
     if args.pretrained:
         from ..models.pretrained import apply_pretrained
-        from ..parallel.mesh import replicated
+        from ..parallel.mesh import replicate_array
 
         host_vars = {
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         }
         loaded = apply_pretrained(model, host_vars, args.pretrained)
-        rep = replicated(trainer.mesh)
 
         def _put(tree):
+            # replicate_array, not device_put: every host holds the same
+            # converted numpy tree, and a plain device_put onto a global
+            # NamedSharding is single-process-only (parallel/mesh.py).
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(jnp.asarray(x), rep), tree
+                lambda x: replicate_array(trainer.mesh, np.asarray(x)), tree
             )
 
         state = state.replace(

@@ -211,5 +211,11 @@ def calibrate_int8(apply_fn, variables, batches):
     variables = dict(variables)
     for batch in batches:
         _, mut = apply_fn(variables, batch)
+        if "quant" not in mut:
+            raise ValueError(
+                "calibration recorded nothing: the model has no quantized "
+                "layers (flax omits an untouched mutable collection) — "
+                "build it with quant_int8=True / a clip_* backbone"
+            )
         variables["quant"] = mut["quant"]
     return variables

@@ -72,35 +72,49 @@ class Evaluator:
             self._forward_tf = forward_tf
             self._text_for = None  # identity of the variables the cache is for
             self._text_feats = None
+            self._bound_forward = None
 
     def _forward_fn(self, variables):
         """The (variables, images) -> density fn to use, with hoisted text
-        features bound when the model supports them."""
+        features bound when the model supports them.
+
+        The returned closure is CACHED per `variables` identity: it is
+        passed to the jitted ``sliding_window_predict`` as a *static*
+        argument (hashed by object identity), so returning a fresh lambda
+        per image would retrace and recompile the whole window pipeline
+        for every evaluated image."""
         if not self._hoist_text:
             return self._forward
         if self._text_for is not variables:
             self._text_feats = self._encode_text(variables)
             self._text_for = variables
-        feats = self._text_feats
-        return lambda v, images: self._forward_tf(v, images, feats)
+            feats = self._text_feats
+            self._bound_forward = (
+                lambda v, images: self._forward_tf(v, images, feats)
+            )
+        return self._bound_forward
 
     def predict_density(self, variables, image: np.ndarray) -> jnp.ndarray:
         """(H, W, 3) -> (H/r, W/r) density map."""
         h, w = image.shape[:2]
+        nh, nw = h, w
+        if self.sliding_window and self.window is not None:
+            # images smaller than one window: pad up so the grid exists
+            nh, nw = max(nh, self.window[0]), max(nw, self.window[1])
         pad = self.pad_to_multiple
         if pad:
-            nh, nw = -(-h // pad) * pad, -(-w // pad) * pad
-            if (nh, nw) != (h, w):
-                # Images here are already ImageNet-normalized: black is
-                # -mean/std per channel, not 0.
-                from ..config import IMAGENET_MEAN, IMAGENET_STD
+            nh, nw = -(-nh // pad) * pad, -(-nw // pad) * pad
+        if (nh, nw) != (h, w):
+            # Images here are already ImageNet-normalized: black is
+            # -mean/std per channel, not 0.
+            from ..config import IMAGENET_MEAN, IMAGENET_STD
 
-                black = -(np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD))
-                padded = np.broadcast_to(
-                    black.astype(image.dtype), (nh, nw, image.shape[2])
-                ).copy()
-                padded[:h, :w] = image
-                image = padded
+            black = -(np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD))
+            padded = np.broadcast_to(
+                black.astype(image.dtype), (nh, nw, image.shape[2])
+            ).copy()
+            padded[:h, :w] = image
+            image = padded
         image = jnp.asarray(image)
 
         if self.mesh is not None and jax.process_count() > 1:
@@ -124,7 +138,7 @@ class Evaluator:
         else:
             density = forward(variables, image[None])[0]
 
-        if pad:
+        if (nh, nw) != (h, w):
             density = density[: h // self.reduction, : w // self.reduction]
         return density
 

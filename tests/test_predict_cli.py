@@ -87,3 +87,59 @@ def test_predict_requires_weights(tmp_path):
             str(img_dir), "--model", "vgg11_ae", "--input_size", "64",
             "--reduction", "8", "--truncation", "4", "--bins_dataset", "shb",
         ])
+
+
+def test_predict_sliding_window_smaller_image(tmp_path):
+    """Images smaller than the window must be padded, not crash, and the
+    density map is cropped back to the true size."""
+    ckpt = tmp_path / "vgg11.pth"
+    torch.save(_synthetic_vgg11_sd(), str(ckpt))
+    img_dir = tmp_path / "imgs"
+    _make_images(str(img_dir), n=2)  # 64x96 < 128 window
+    out_csv = tmp_path / "counts.csv"
+    dens = tmp_path / "dens"
+    predict_main([
+        str(img_dir),
+        "--model", "vgg11_ae", "--input_size", "64", "--reduction", "8",
+        "--truncation", "4", "--bins_dataset", "shb",
+        "--pretrained", str(ckpt),
+        "--sliding_window", "--window_size", "128", "--stride", "64",
+        "--out", str(out_csv), "--save_density", str(dens),
+    ])
+    assert len(out_csv.read_text().strip().splitlines()) == 3
+    assert np.load(dens / "img_0.npy").shape == (8, 12)
+
+
+def test_quant_rejected_for_cnn_models(tmp_path):
+    img_dir = tmp_path / "imgs"
+    _make_images(str(img_dir), n=1)
+    with pytest.raises(SystemExit, match="clip_"):
+        predict_main([
+            str(img_dir), "--model", "vgg11_ae", "--input_size", "64",
+            "--reduction", "8", "--truncation", "4", "--bins_dataset", "shb",
+            "--quant", "int8_static", "--pretrained", "whatever.pt",
+        ])
+
+
+def test_evaluator_forward_fn_is_cached():
+    """_forward_fn must return the SAME closure per variables identity —
+    it is a static jit arg of sliding_window_predict, so a fresh lambda
+    per image would recompile the window pipeline for every image."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_ebc_tpu.config import get_bins_and_anchors
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training.evaluate import Evaluator
+
+    bins, anchors = get_bins_and_anchors(8, 4, "shb", "fine", "average")
+    model = get_model("clip_vit_b_16", 224, 8, bins=bins, anchor_points=anchors,
+                      num_vpt=2)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+    ev = Evaluator(model, reduction=8)
+    f1 = ev._forward_fn(v)
+    f2 = ev._forward_fn(v)
+    assert f1 is f2
+    v2 = dict(v)
+    f3 = ev._forward_fn(v2)
+    assert f3 is not f1 and ev._forward_fn(v2) is f3
