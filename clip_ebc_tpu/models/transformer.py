@@ -327,8 +327,12 @@ class PatchifyMatmul(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (p, p, c, self.features),
             jnp.float32,
         )
+        # promote like nn.Conv: BOTH operands to the compute dtype — without
+        # this an fp32 input silently keeps the whole downstream trunk fp32
+        # (and the fused LN+qkv kernel's fp32 operands overflow VMEM)
         x = (
-            x.reshape(b, gh, p, gw, p, c)
+            x.astype(self.dtype)
+            .reshape(b, gh, p, gw, p, c)
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(b, gh * gw, p * p * c)
         )
