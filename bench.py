@@ -50,7 +50,7 @@ def bench_train() -> None:
     else:
         cfg = ExperimentConfig(
             dataset="nwpu", model="vgg19_ae", input_size=448, reduction=8,
-            truncation=4, count_loss="dmcount", batch_size=batch, amp=True,
+            truncation=4, count_loss=count_loss, batch_size=batch, amp=True,
         ).normalize()
     model = get_model(cfg.model, cfg.input_size, cfg.reduction, cfg.bins,
                       cfg.bin_anchors, dtype=jnp.bfloat16)
@@ -93,14 +93,14 @@ def bench_train() -> None:
         metric = {
             "metric": "clip_vit_b16_vpt_224_train_throughput",
             "value": round(crops_per_sec, 2),
-            "unit": "224^2 crops/s/chip (bf16, VPT-32 frozen trunk, dmcount loss)",
+            "unit": f"224^2 crops/s/chip (bf16, VPT-32 frozen trunk, {count_loss} loss)",
             "vs_baseline": round(crops_per_sec / 700.0, 3),  # ~A100 torch AMP est.
         }
     else:
         metric = {
             "metric": "vgg19_ae_448_train_throughput",
             "value": round(crops_per_sec, 2),
-            "unit": "448^2 crops/s/chip (bf16, dmcount loss)",
+            "unit": f"448^2 crops/s/chip (bf16, {count_loss} loss)",
             "vs_baseline": round(crops_per_sec / 200.0, 3),  # ~A100 torch AMP est.
         }
     print(json.dumps(metric))
