@@ -164,6 +164,8 @@ def fused_qkv_attention(
     if not supports(num_heads, qkv.shape[-1] // 3 // num_heads):
         return _reference(qkv, num_heads, kv_len, sm_scale)
     interpret = interpret or jax.default_backend() != "tpu"
+    if qkv.dtype == jnp.float32:  # fp32 doubles VMEM; halve the block
+        block_b = max(1, block_b // 2)
     return _forward(qkv, num_heads, kv_len, sm_scale, block_b, interpret)
 
 
@@ -303,6 +305,8 @@ def fused_ln_qkv_attention(
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
         )
     interpret = interpret or jax.default_backend() != "tpu"
+    if x.dtype == jnp.float32:  # fp32 weights + qkv exceed VMEM at block 2
+        block_b = 1
     return _ln_qkv_forward(
         x, ln_scale, ln_bias, w.astype(x.dtype), ones,
         bias.astype(jnp.float32), one,
@@ -459,6 +463,8 @@ def fused_ln_qkv_attention_int8(
         )
     act_scale = jnp.asarray(act_scale, jnp.float32).reshape(())
     interpret = interpret or jax.default_backend() != "tpu"
+    if x.dtype == jnp.float32:
+        block_b = 1
     return _ln_qkv_forward(
         x, ln_scale, ln_bias, w_q, s_col * act_scale,
         bias.astype(jnp.float32), (1.0 / act_scale).reshape(1),
