@@ -57,7 +57,12 @@ class Evaluator:
 
         # Text-feature hoist: at eval the prompt features are constant per
         # weight set, so encode them once per `variables` instead of running
-        # the text tower inside every (window-batch) forward.
+        # the text tower inside every (window-batch) forward. The hoisted
+        # features travel as TRACED data inside the forward's first argument
+        # (a ``(variables, text_feats)`` tuple) so the callable handed to
+        # ``sliding_window_predict`` as its jit-static ``apply_fn`` is ONE
+        # stable function for the Evaluator's lifetime — a fresh `variables`
+        # tree each eval epoch must not recompile the window pipeline.
         self._hoist_text = hasattr(type(model), "encode_text")
         if self._hoist_text:
             self._encode_text = jax.jit(
@@ -65,34 +70,30 @@ class Evaluator:
             )
 
             @jax.jit
-            def forward_tf(variables, images, text_feats):
+            def forward_ctx(ctx, images):
+                variables, text_feats = ctx
                 out = model.apply(variables, images, train=False, text_feats=text_feats)
                 return out.astype(jnp.float32)
 
-            self._forward_tf = forward_tf
+            self._forward_ctx = forward_ctx
             self._text_for = None  # identity of the variables the cache is for
             self._text_feats = None
-            self._bound_forward = None
 
     def _forward_fn(self, variables):
-        """The (variables, images) -> density fn to use, with hoisted text
-        features bound when the model supports them.
+        """Return ``(forward, ctx)`` — a stable (ctx, images) -> density
+        callable plus its traced context, with hoisted text features folded
+        into ctx when the model supports them.
 
-        The returned closure is CACHED per `variables` identity: it is
-        passed to the jitted ``sliding_window_predict`` as a *static*
-        argument (hashed by object identity), so returning a fresh lambda
-        per image would retrace and recompile the whole window pipeline
-        for every evaluated image."""
+        ``forward`` is passed to the jitted ``sliding_window_predict`` as a
+        *static* argument (hashed by object identity), so it must be the
+        same object across images AND across eval epochs; anything that
+        varies per weight set (the text features) rides in ``ctx``."""
         if not self._hoist_text:
-            return self._forward
+            return self._forward, variables
         if self._text_for is not variables:
             self._text_feats = self._encode_text(variables)
             self._text_for = variables
-            feats = self._text_feats
-            self._bound_forward = (
-                lambda v, images: self._forward_tf(v, images, feats)
-            )
-        return self._bound_forward
+        return self._forward_ctx, (variables, self._text_feats)
 
     def predict_density(self, variables, image: np.ndarray) -> jnp.ndarray:
         """(H, W, 3) -> (H/r, W/r) density map."""
@@ -123,11 +124,11 @@ class Evaluator:
             from ..parallel.mesh import replicate_array
 
             image = replicate_array(self.mesh, np.asarray(image))
-        forward = self._forward_fn(variables)
+        forward, ctx = self._forward_fn(variables)
         if self.sliding_window:
             density = sliding_window_predict(
                 forward,
-                variables,
+                ctx,
                 image,
                 window=self.window,
                 stride=self.stride,
@@ -136,7 +137,7 @@ class Evaluator:
                 mesh=self.mesh,
             )
         else:
-            density = forward(variables, image[None])[0]
+            density = forward(ctx, image[None])[0]
 
         if (nh, nw) != (h, w):
             density = density[: h // self.reduction, : w // self.reduction]
