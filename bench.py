@@ -205,7 +205,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "clip_vit_b16_sliding_window_pipeline",
+                # the quant mode is part of the metric NAME so numbers from
+                # different modes can never be compared unnoticed across
+                # rounds (bf16 was the default through BENCH_r01)
+                "metric": "clip_vit_b16_sliding_window_pipeline_"
+                + (quant_env if quant else "bf16"),
                 "value": round(windows_per_sec, 2),
                 "unit": (
                     f"224^2 windows/s/chip through the full gather+forward+"

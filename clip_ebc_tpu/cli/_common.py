@@ -39,7 +39,10 @@ def load_weights(args, model, template):
     if args.pretrained:
         from ..models.pretrained import apply_pretrained
 
-        template = apply_pretrained(model, dict(template), args.pretrained)
+        template = apply_pretrained(
+            model, dict(template), args.pretrained,
+            allow_byte_tokenizer=getattr(args, "allow_byte_tokenizer", False),
+        )
         variables = {"params": template["params"]}
         if template.get("batch_stats"):
             variables["batch_stats"] = template["batch_stats"]

@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".npy")
@@ -36,11 +37,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shallow_vpt", action="store_true")
     p.add_argument("--weight_path", type=str, default=None)
     p.add_argument("--pretrained", type=str, default=None)
+    p.add_argument("--allow_byte_tokenizer", action="store_true",
+                   help="permit pretrained CLIP text towers without the real "
+                   "BPE vocab (synthetic-weight testing ONLY)")
     p.add_argument("--sliding_window", action="store_true")
     p.add_argument("--window_size", type=int, default=None)
     p.add_argument("--stride", type=int, default=None)
     p.add_argument("--strategy", type=str, default="average", choices=["average", "max"])
-    p.add_argument("--pad_to_multiple", type=int, default=0)
+    p.add_argument("--pad_to_multiple", type=int, default=None,
+                   help="zero-pad images up to a multiple of this (counts "
+                   "cover the valid region only). Default: the model's "
+                   "divisibility requirement (ViT patch size, else the "
+                   "reduction) so arbitrary-size images just work; 0 disables")
     p.add_argument("--amp", action="store_true")
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8", "int8_static"])
@@ -71,6 +79,12 @@ def main(argv=None) -> None:
     if args.sliding_window:
         args.window_size = args.input_size if args.window_size is None else args.window_size
         args.stride = args.window_size // 2 if args.stride is None else args.stride
+    if args.pad_to_multiple is None:
+        # arbitrary-size images must not crash on the model's divisibility
+        # check: ViT variants need patch-size multiples, CNNs reduction
+        # multiples (the sliding-window path pads to the window on its own)
+        m = re.search(r"vit_[a-z]+_(\d+)$", args.model)
+        args.pad_to_multiple = int(m.group(1)) if m else args.reduction
 
     import jax
     import jax.numpy as jnp

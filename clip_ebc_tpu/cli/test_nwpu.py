@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "NOTE: --weight_path restores a complete trained "
                         "snapshot and fully replaces it; --pretrained only "
                         "matters when --weight_path is absent")
+    p.add_argument("--allow_byte_tokenizer", action="store_true",
+                   help="permit pretrained CLIP text towers without the real "
+                   "BPE vocab (synthetic-weight testing ONLY)")
     p.add_argument("--sliding_window", action="store_true")
     p.add_argument("--window_size", type=int, default=None)
     p.add_argument("--stride", type=int, default=None, help="defaults to window_size//2 (reference test_nwpu.py:75)")

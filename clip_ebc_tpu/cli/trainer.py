@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "CLIP-EBC state dict (auto-detected and converted; "
                         "replaces the reference's download-at-import flow, "
                         "reference models/clip/_clip/prepare.py:43-95)")
+    p.add_argument("--allow_byte_tokenizer", action="store_true",
+                   help="permit loading pretrained CLIP text towers without "
+                   "the real BPE vocab (synthetic-weight testing ONLY; text "
+                   "features will not match the pretrained embedding space)")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--ckpt_dir", type=str, default=None)
     p.add_argument("--max_points", type=int, default=2048, help="per-image point pad for the OT loss")
@@ -187,7 +191,10 @@ def main(argv=None) -> None:
             "params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats),
         }
-        loaded = apply_pretrained(model, host_vars, args.pretrained)
+        loaded = apply_pretrained(
+            model, host_vars, args.pretrained,
+            allow_byte_tokenizer=getattr(args, "allow_byte_tokenizer", False),
+        )
 
         def _put(tree):
             # replicate_array, not device_put: every host holds the same

@@ -161,3 +161,12 @@ __all__ = [
     "ViTEncoder",
     "CLIP_BACKBONES",
 ]
+
+# Shipped registry example: a ConvNeXt-style backbone (a family the
+# reference lacks) registered through the same escape hatch users get —
+# proof the contract works end-to-end (see models/convnext.py).
+from .convnext import ConvNeXtBackbone  # noqa: E402
+from .convnext import _register as _register_convnext  # noqa: E402
+
+_register_convnext()
+__all__.append("ConvNeXtBackbone")

@@ -154,24 +154,37 @@ def apply_pretrained(
     model,
     variables: Mapping[str, Any],
     checkpoint: Union[str, Mapping[str, Any]],
+    allow_byte_tokenizer: bool = False,
 ) -> Dict[str, Any]:
     """Overlay a converted torch checkpoint onto fresh ``variables``
     (``{"params": ..., "batch_stats": ...}``); returns new variables.
-    Shapes are strictly checked by ``merge_params``."""
+    Shapes are strictly checked by ``merge_params``.
+
+    Loading a pretrained CLIP text tower without the real BPE vocab is a
+    HARD ERROR: byte-fallback token ids are meaningless to pretrained text
+    embeddings, so every prompt feature — and therefore every count — would
+    be silently garbage. Pass ``allow_byte_tokenizer=True`` (CLI:
+    ``--allow_byte_tokenizer``) only for synthetic-weight tests."""
     sd = _as_state_dict(checkpoint)
     kind = C.detect_checkpoint_kind(sd)
+    p_over, s_over = convert_for_model(model, sd, variables)
     if kind in ("clip", "reference_clip_ebc"):
         from .clip.tokenizer import ByteFallbackTokenizer, get_tokenizer
 
         if isinstance(get_tokenizer(), ByteFallbackTokenizer):
-            logger.warning(
+            msg = (
                 "Loading converted CLIP text-tower weights while the BPE "
                 "vocab is ABSENT: prompts are byte-fallback tokenized, which "
                 "is incompatible with pretrained text embeddings — text "
-                "features will be garbage. Set $CLIP_BPE_VOCAB to "
+                "features would be garbage. Set $CLIP_BPE_VOCAB to "
                 "bpe_simple_vocab_16e6.txt.gz (ships with OpenAI CLIP)."
             )
-    p_over, s_over = convert_for_model(model, sd, variables)
+            if not allow_byte_tokenizer:
+                raise ValueError(
+                    msg + " Pass --allow_byte_tokenizer to override "
+                    "(synthetic-weight testing only)."
+                )
+            logger.warning(msg)
     out: Dict[str, Any] = dict(variables)
     out["params"] = C.merge_params(dict(variables["params"]), p_over)
     if s_over:

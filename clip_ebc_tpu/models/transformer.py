@@ -282,6 +282,11 @@ class ResidualAttentionBlock(nn.Module):
             and mask is None
             and not self.is_initializing()
             and not self.is_mutable_collection("quant")
+            # Dynamic int8 has no precalibrated scale the fused kernel could
+            # consume; routing in_proj through the bf16 fused kernel would
+            # silently de-quantize the projection and change what "--quant
+            # int8" means. Keep the flag's semantics: unfused Int8Dense qkv.
+            and not (self.quant_int8 and self.quant_mode == "dynamic")
         )
         if fuse_ln:
             g, bb = _LNParams(d, name="ln_1")()

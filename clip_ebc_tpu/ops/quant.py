@@ -218,4 +218,33 @@ def calibrate_int8(apply_fn, variables, batches):
                 "build it with quant_int8=True / a clip_* backbone"
             )
         variables["quant"] = mut["quant"]
+    validate_quant_scales(variables)
     return variables
+
+
+def validate_quant_scales(variables) -> None:
+    """Fail loudly if any recorded ``act_amax`` is not strictly positive.
+
+    A zero amax means the layer was never calibrated (e.g. a static-mode
+    model was calibrated directly instead of its dynamic twin — static
+    mode only *reads* the scale, it never records); running static
+    inference with it would saturate every activation to ±127 and
+    silently produce garbage."""
+    import numpy as np
+
+    quant = variables.get("quant")
+    if not quant:
+        raise ValueError("variables have no 'quant' collection — run calibrate_int8 first")
+    bad = [
+        "/".join(map(str, path))
+        for path, leaf in jax.tree_util.tree_flatten_with_path(quant)[0]
+        if not np.all(np.asarray(leaf) > 0)
+    ]
+    if bad:
+        raise ValueError(
+            "uncalibrated int8 activation scales (act_amax == 0) at: "
+            + ", ".join(bad[:8])
+            + (" …" if len(bad) > 8 else "")
+            + " — calibrate the dynamic-mode twin (mutable=['quant']) on "
+            "representative data before running quant_mode='static'"
+        )

@@ -121,10 +121,12 @@ def test_quant_rejected_for_cnn_models(tmp_path):
         ])
 
 
-def test_evaluator_forward_fn_is_cached():
-    """_forward_fn must return the SAME closure per variables identity —
-    it is a static jit arg of sliding_window_predict, so a fresh lambda
-    per image would recompile the window pipeline for every image."""
+def test_evaluator_forward_fn_is_stable():
+    """_forward_fn must return ONE stable callable regardless of the
+    variables tree's identity — it is a static jit arg of
+    sliding_window_predict, so a fresh callable per image OR per eval
+    epoch would recompile the window pipeline. The text features ride in
+    the traced ctx and are re-encoded only when the tree changes."""
     import jax
     import jax.numpy as jnp
 
@@ -137,9 +139,11 @@ def test_evaluator_forward_fn_is_cached():
                       num_vpt=2)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
     ev = Evaluator(model, reduction=8)
-    f1 = ev._forward_fn(v)
-    f2 = ev._forward_fn(v)
+    f1, ctx1 = ev._forward_fn(v)
+    f2, ctx2 = ev._forward_fn(v)
     assert f1 is f2
+    assert ctx1[1] is ctx2[1]  # text feats cached per variables identity
     v2 = dict(v)
-    f3 = ev._forward_fn(v2)
-    assert f3 is not f1 and ev._forward_fn(v2) is f3
+    f3, ctx3 = ev._forward_fn(v2)
+    assert f3 is f1  # SAME callable even for a fresh tree (no recompile)
+    assert ctx3[0] is v2

@@ -200,3 +200,31 @@ def test_trainer_cli_pretrained_bitmatch(tmp_path, monkeypatch):
             np.asarray(got[path], np.float32), np.asarray(want, np.float32),
             err_msg=path,
         )
+
+
+def test_clip_pretrained_requires_real_bpe_vocab(rng):
+    """Loading a pretrained CLIP text tower with the byte-fallback
+    tokenizer active must FAIL unless explicitly overridden — byte
+    token ids are meaningless to the pretrained text embedding space
+    (deployment prerequisite: $CLIP_BPE_VOCAB)."""
+    from tests.reference_loader import load_reference
+
+    ns = load_reference()
+    clip_bins = [(0.0, 0.0), (1.0, 1.0), (2.0, float("inf"))]
+    clip_anchors = [0.0, 1.0, 2.5]
+    ref = ns.clip_model._clip_ebc(
+        backbone="vit_b_16", bins=clip_bins, anchor_points=clip_anchors,
+        input_size=224, reduction=8, num_vpt=4, deep_vpt=True, vpt_drop=0.0,
+        prompt_type="word",
+    )
+    model = get_model(
+        "clip_vit_b_16", 224, 8, bins=clip_bins, anchor_points=clip_anchors,
+        num_vpt=4, prompt_type="word",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    with pytest.raises(ValueError, match="BPE"):
+        apply_pretrained(model, dict(variables), dict(ref.state_dict()))
+    # explicit override keeps working (synthetic-weight tests)
+    out = apply_pretrained(model, dict(variables), dict(ref.state_dict()),
+                           allow_byte_tokenizer=True)
+    assert "params" in out

@@ -7,6 +7,7 @@ full flagship ClipEBC forward agreeing with the bf16 path.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -222,3 +223,27 @@ def test_clip_ebc_int8_decoder_param_compat():
     v = base.init(jax.random.PRNGKey(0), x, train=False)
     vq = quant.init(jax.random.PRNGKey(0), x, train=False)
     assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(lambda a: a.shape, vq)
+
+
+def test_validate_quant_scales_rejects_uncalibrated():
+    """Static mode with act_amax==0 would saturate every activation to
+    ±127 and silently produce garbage — calibrate_int8 must reject the
+    recording (e.g. when a static-mode model was calibrated directly
+    instead of its dynamic twin, which never updates amax)."""
+    from clip_ebc_tpu.ops.quant import Int8Dense, calibrate_int8, validate_quant_scales
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16)), jnp.float32)
+    static = Int8Dense(8, dtype=jnp.float32, quant_mode="static")
+    v = dict(static.init(jax.random.PRNGKey(0), x))
+
+    # calibrating the static model directly records nothing but zeros
+    with pytest.raises(ValueError, match="uncalibrated"):
+        calibrate_int8(lambda vv, b: static.apply(vv, b, mutable=["quant"]), v, [x])
+
+    # the dynamic twin records real ranges and passes
+    dyn = Int8Dense(8, dtype=jnp.float32)
+    v2 = calibrate_int8(lambda vv, b: dyn.apply(vv, b, mutable=["quant"]), v, [x])
+    validate_quant_scales(v2)
+
+    with pytest.raises(ValueError, match="quant"):
+        validate_quant_scales({"params": v["params"]})

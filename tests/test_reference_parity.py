@@ -64,7 +64,8 @@ def test_vgg19_ae_classifier_full_model_parity():
 
     model = get_model("vgg19_ae", 64, 8, bins=BINS, anchor_points=ANCHORS)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()))
+    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()),
+                                 allow_byte_tokenizer=True)
     out = model.apply(variables, _nhwc(x), train=False)  # (2, 8, 8)
 
     np.testing.assert_allclose(
@@ -95,7 +96,8 @@ def test_clip_ebc_vit_b16_full_model_parity():
         num_vpt=4, deep_vpt=True, vpt_drop=0.0, prompt_type="word",
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
-    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()))
+    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()),
+                                 allow_byte_tokenizer=True)
     out = model.apply(variables, _nhwc(x), train=False)
 
     np.testing.assert_allclose(
@@ -123,7 +125,8 @@ def test_clip_ebc_resnet50_full_model_parity():
         prompt_type="word",
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
-    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()))
+    variables = apply_pretrained(model, dict(variables), dict(ref.state_dict()),
+                                 allow_byte_tokenizer=True)
     out = model.apply(variables, _nhwc(x), train=False)
 
     np.testing.assert_allclose(

@@ -86,3 +86,51 @@ def test_plain_resnet_backbones_by_name():
 
     # torchvision checkpoints land under backbone/encoder like the AE path
     assert "encoder" in v["params"]["backbone"]
+
+
+def test_registered_convnext_trains_a_step():
+    """The shipped ConvNeXt registry example (models/convnext.py) must
+    train end-to-end through get_model + Trainer — the full demonstration
+    of the custom-backbone escape hatch (reference
+    models/encoder/timm_models.py:42-54 equivalent)."""
+    from clip_ebc_tpu.config import ExperimentConfig
+    from clip_ebc_tpu.data.loader import Batch
+    from clip_ebc_tpu.losses import make_loss_fn
+    from clip_ebc_tpu.training import Trainer
+
+    cfg = ExperimentConfig(
+        dataset="shb", model="convnext_nano", input_size=32, reduction=8,
+        truncation=4, count_loss="mae", batch_size=8, lr=1e-3,
+        warmup_epochs=2, warmup_lr=1e-4,
+    ).normalize()
+    model = get_model(cfg.model, cfg.input_size, cfg.reduction, cfg.bins, cfg.bin_anchors)
+    trainer = Trainer(cfg, model, make_loss_fn(cfg))
+
+    rng = np.random.default_rng(0)
+    b = 8
+    density = np.zeros((b, 4, 4), np.float32)
+    points = np.zeros((b, 8, 2), np.float32)
+    mask = np.zeros((b, 8), bool)
+    for i in range(b):
+        n = int(rng.integers(1, 5))
+        pts = rng.uniform(0, 32, (n, 2)).astype(np.float32)
+        points[i, :n], mask[i, :n] = pts, True
+        for x, y in pts:
+            density[i, int(y) // 8, int(x) // 8] += 1.0
+    batch = Batch(
+        images=rng.normal(size=(b, 32, 32, 3)).astype(np.float32),
+        points=points, point_mask=mask, density=density,
+    )
+    from clip_ebc_tpu.parallel.mesh import shard_batch
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    b_dev = shard_batch(trainer.mesh, batch)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    losses = []
+    for _ in range(3):
+        state, info = trainer._step(state, b_dev, lr, trainer.text_features(state))
+        losses.append(float(info["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # it actually learns
+    assert not np.allclose(np.asarray(jax.tree_util.tree_leaves(state.params)[0]), np.asarray(p0))
