@@ -146,7 +146,13 @@ def main() -> None:
         int(os.environ.get("BENCH_IMG_H", "2048")),
         int(os.environ.get("BENCH_IMG_W", "3072")),
     )
-    window, stride, reduction = (224, 224), (112, 112), 8
+    # Stride default = 224 (overlap-free): the reference's OWN headline eval
+    # config — run.sh:25 trains/evals the flagship with `--window_size 224
+    # --stride 224`, and README.md:19's MAE-61.2 NWPU result cites
+    # "sliding-window 224/224". BENCH_STRIDE=112 measures the test_nwpu.py
+    # default (window//2 overlap, reference test_nwpu.py:75).
+    stride_env = int(os.environ.get("BENCH_STRIDE", "224"))
+    window, stride, reduction = (224, 224), (stride_env, stride_env), 8
     n_windows = window_grid((h, w), window, stride).shape[0]
 
     image = jnp.asarray(
@@ -214,7 +220,9 @@ def main() -> None:
                 "unit": (
                     f"224^2 windows/s/chip through the full gather+forward+"
                     f"assembly pipeline on a {h}x{w} image "
-                    f"({quant_env if quant else 'bf16'}, {n_windows} windows/img)"
+                    f"({quant_env if quant else 'bf16'}, stride {stride_env} — "
+                    f"the reference flagship eval config is 224/224, "
+                    f"run.sh:25 — {n_windows} windows/img)"
                 ),
                 "vs_baseline": round(windows_per_sec / A100_EST_IMGS_PER_SEC, 3),
             }

@@ -26,7 +26,10 @@ import numpy as np
 
 def _np(t) -> np.ndarray:
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        # .numpy() returns a VIEW of the live torch storage — copy, or a
+        # later in-place mutation (e.g. optimizer.step()) silently changes
+        # the converted tree under us
+        return np.array(t.detach().cpu().numpy(), np.float32)
     return np.asarray(t, np.float32)
 
 
