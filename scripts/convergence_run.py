@@ -1,0 +1,124 @@
+"""Long-horizon synthetic-crowd convergence run on the real chip.
+
+Trains vgg19_ae (448/8/4, dmcount — the reference's first headline config,
+reference run.sh:5-9) on rendered crowd scenes (data/synthetic.py) and
+records the train-loss / val-MAE curve. Real datasets are not mounted in
+this environment, so this is the strongest end-to-end accuracy evidence
+available (VERDICT r2 missing #2); the curve is recorded in STATUS.md.
+
+Usage:
+    PYTHONPATH=/root/repo python scripts/convergence_run.py \
+        --epochs 60 --out /tmp/convergence.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--model", type=str, default="vgg19_ae")
+    p.add_argument("--input_size", type=int, default=448)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--n_train", type=int, default=192)
+    p.add_argument("--n_val", type=int, default=24)
+    p.add_argument("--count_loss", type=str, default="dmcount")
+    p.add_argument("--num_vpt", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--eval_freq", type=int, default=5)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--out", type=str, default="/tmp/convergence.json")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+
+    from clip_ebc_tpu.config import ExperimentConfig
+    from clip_ebc_tpu.data import make_train_transforms
+    from clip_ebc_tpu.data.crowd import CrowdDataset
+    from clip_ebc_tpu.data.loader import TrainLoader
+    from clip_ebc_tpu.data.synthetic import make_synthetic_crowd_dataset
+    from clip_ebc_tpu.losses import make_loss_fn
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training import Trainer
+    from clip_ebc_tpu.training.evaluate import Evaluator, evaluate
+
+    data_dir = args.data_dir or tempfile.mkdtemp(prefix="synth_crowd_")
+    if not os.path.isdir(os.path.join(data_dir, "shb")):
+        print(f"rendering synthetic dataset under {data_dir} ...")
+        make_synthetic_crowd_dataset(
+            data_dir, n_train=args.n_train, n_val=args.n_val,
+            size=(512, 768), max_count=300, seed=7,
+        )
+
+    import jax.numpy as jnp
+
+    cfg = ExperimentConfig(
+        dataset="shb", model=args.model, input_size=args.input_size,
+        reduction=8, truncation=4, count_loss=args.count_loss,
+        batch_size=args.batch_size, num_crops=1, lr=args.lr,
+        warmup_epochs=args.warmup_epochs, warmup_lr=1e-5,
+        weight_decay=1e-4, amp=True, num_vpt=args.num_vpt,
+        data_root=data_dir,
+    ).normalize()
+    model = get_model(
+        cfg.model, cfg.input_size, cfg.reduction, cfg.bins, cfg.bin_anchors,
+        dtype=jnp.bfloat16,
+    )
+    trainer = Trainer(cfg, model, make_loss_fn(cfg))
+
+    train_ds = CrowdDataset(
+        "shb", "train", data_root=data_dir, num_crops=1,
+        transforms=make_train_transforms(cfg), check_sizes=False,
+    )
+    val_ds = CrowdDataset("shb", "val", data_root=data_dir, num_crops=1,
+                          check_sizes=False)
+    loader = TrainLoader(train_ds, batch_size=cfg.batch_size,
+                         reduction=cfg.reduction, seed=0, num_threads=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), next(iter(loader)))
+    ev = Evaluator(model, reduction=cfg.reduction)
+
+    def val_scores(st):
+        variables = {"params": st.params}
+        if st.batch_stats:
+            variables["batch_stats"] = st.batch_stats
+        return evaluate(ev, variables, val_ds)
+
+    curve = {"epochs": [], "loss": [], "val_mae": [], "val_rmse": [],
+             "config": {k: str(v) for k, v in vars(args).items()}}
+    s0 = val_scores(state)
+    print(f"untrained: val MAE {s0['mae']:.2f} RMSE {s0['rmse']:.2f}")
+    curve["epochs"].append(0)
+    curve["loss"].append(None)
+    curve["val_mae"].append(s0["mae"])
+    curve["val_rmse"].append(s0["rmse"])
+
+    t0 = time.time()
+    for epoch in range(1, args.epochs + 1):
+        state, info = trainer.train_epoch(state, loader, epoch)
+        if epoch % args.eval_freq == 0 or epoch == args.epochs:
+            s = val_scores(state)
+            print(
+                f"epoch {epoch}/{args.epochs} ({time.time()-t0:.0f}s): "
+                f"loss={info['loss']:.3f} val MAE {s['mae']:.2f} "
+                f"RMSE {s['rmse']:.2f}"
+            )
+            curve["epochs"].append(epoch)
+            curve["loss"].append(info["loss"])
+            curve["val_mae"].append(s["mae"])
+            curve["val_rmse"].append(s["rmse"])
+            with open(args.out, "w") as f:
+                json.dump(curve, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Measure bf16-vs-int8_static accuracy on representative synthetic crowds.
+
+KNOWN_DIFFERENCES #11 needs a real number: calibrate the W8A8-static path
+on rendered crowd scenes (NOT N(0,1) noise), then compare bf16 and
+int8_static sliding-window counts + MAE/RMSE across a density/size sweep.
+
+Usage (real chip):
+    PYTHONPATH=/root/repo python scripts/int8_accuracy.py --out /tmp/int8_acc.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_calib", type=int, default=8)
+    p.add_argument("--n_eval", type=int, default=24)
+    p.add_argument("--out", type=str, default="/tmp/int8_acc.json")
+    p.add_argument("--window", type=int, default=224)
+    p.add_argument("--stride", type=int, default=224)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from clip_ebc_tpu.data.crowd import normalize_image
+    from clip_ebc_tpu.data.synthetic import render_crowd_scene
+    from clip_ebc_tpu.ops.quant import calibrate_int8
+    from clip_ebc_tpu.ops.sliding_window import sliding_window_predict, window_grid
+    from clip_ebc_tpu.utils.metrics import count_errors
+
+    rng = np.random.default_rng(42)
+
+    def norm_scene(size, count):
+        img, pts = render_crowd_scene(rng, size=size, count=count)
+        return normalize_image(img.astype(np.float32) / 255.0), len(pts)
+
+    # size/density sweep: small/large scenes x sparse/medium/dense
+    sweep = []
+    for size in [(448, 672), (896, 1344)]:
+        for count in (5, 60, 300):
+            for _ in range(args.n_eval // 6):
+                sweep.append(norm_scene(size, count))
+
+    bf16, _ = _flagship(dtype=jnp.bfloat16)
+    quant, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True, quant_mode="static")
+    dyn, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True)
+    variables = bf16.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16), train=False
+    )
+
+    # calibration: window batches from REPRESENTATIVE scenes (the recipe
+    # cli/test_nwpu + cli/predict run with --quant int8_static)
+    calib_batches = []
+    for _ in range(args.n_calib):
+        img, _ = norm_scene((448, 672), int(rng.integers(5, 300)))
+        coords = window_grid(img.shape[:2], (args.window,) * 2, (args.window,) * 2)
+        calib_batches.append(
+            np.stack([img[y : y + args.window, x : x + args.window] for y, x in coords])
+        )
+    cal_vars = calibrate_int8(
+        jax.jit(lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"])),
+        dict(variables), calib_batches,
+    )
+
+    def counts_for(model, vset):
+        text_feats = jax.jit(lambda v: model.apply(v, method="encode_text"))(vset)
+
+        def forward(v, images):
+            return model.apply(v, images, train=False, text_feats=text_feats).astype(
+                jnp.float32
+            )
+
+        out = []
+        for img, _n in sweep:
+            d = sliding_window_predict(
+                forward, vset, jnp.asarray(img, jnp.bfloat16),
+                window=(args.window,) * 2, stride=(args.stride,) * 2, reduction=8,
+            )
+            out.append(float(d.sum()))
+        return np.asarray(out)
+
+    gt = np.asarray([n for _, n in sweep], np.float64)
+    c_bf16 = counts_for(bf16, variables)
+    c_int8 = counts_for(quant, cal_vars)
+
+    e_bf16 = count_errors(c_bf16, gt)
+    e_int8 = count_errors(c_int8, gt)
+    rel = np.abs(c_int8 - c_bf16) / np.maximum(np.abs(c_bf16), 1.0)
+    result = {
+        "n_images": len(sweep),
+        "bf16": e_bf16,
+        "int8_static": e_int8,
+        "count_rel_delta_mean": float(rel.mean()),
+        "count_rel_delta_max": float(rel.max()),
+        "mae_delta": float(e_int8["mae"] - e_bf16["mae"]),
+        "rmse_delta": float(e_int8["rmse"] - e_bf16["rmse"]),
+        "note": "random-init weights; deltas measure QUANTIZATION error of "
+        "the pipeline on representative imagery, not trained accuracy",
+    }
+    print(json.dumps(result, indent=1))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
