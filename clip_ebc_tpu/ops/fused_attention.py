@@ -31,9 +31,12 @@ never influence real tokens; their own outputs are garbage and must be
 ignored by the caller (ClipViT pads once for the whole trunk and slices
 patch tokens at the end).
 
-Backward (``jax.custom_vjp``) recomputes attention with the reference
-einsum path and differentiates that — exact gradients, standard remat
-trade (same policy as ops/flash_attention.py).
+Backward (``jax.custom_vjp``) is a second pair-packed Pallas kernel
+(``_attention_bwd``): it recomputes scores/softmax in VMEM and emits
+d_qkv directly — the standard remat trade, but without the einsum
+path's HBM round-trips (q/k/v transposes + two (B,H,L,L) fp32 score
+tensors). Unsupported head shapes fall back to differentiating the
+einsum reference.
 
 No reference equivalent: the reference uses torch nn.MultiheadAttention
 (reference models/clip/_clip/blocks.py:22-42); this is the TPU-native
@@ -61,9 +64,21 @@ def supports(num_heads: int, head_dim: int) -> bool:
     return head_dim == 64 and num_heads % 2 == 0
 
 
-def _pair_attention_body(qkv, o_ref, num_heads: int, kv_len: int, sm_scale: float):
+def _pair_attention_body(
+    qkv, o_ref, num_heads: int, kv_len: int, sm_scale: float,
+    quant_attn: bool = False,
+):
     """Shared head-pair lane-packed attention: ``qkv`` (blk, lp, 3D) in
-    registers/VMEM -> writes (blk, lp, D) into ``o_ref``."""
+    registers/VMEM -> writes (blk, lp, D) into ``o_ref``.
+
+    ``quant_attn``: run the QK^T and PV matmuls on the int8 MXU (2x the
+    bf16 rate on v5e). Quantization is DYNAMIC but free of HBM traffic —
+    the operands are already in VMEM, so the per-block max reductions are
+    VPU ops on resident data: q/k/v use per-(block, head-pair) symmetric
+    max-abs scales; the softmax probabilities are in [0, 1] by
+    construction so they use the fixed scale 1/127. Zero-masked lanes
+    stay exactly zero through quantization (symmetric, round(0)=0), so
+    the head-pair packing identity is preserved exactly."""
     blk, lp, _ = qkv.shape
     d = num_heads * 64
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
@@ -72,36 +87,181 @@ def _pair_attention_body(qkv, o_ref, num_heads: int, kv_len: int, sm_scale: floa
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), 2)
     kv_mask = cols < kv_len  # padded rows only ever appear as masked keys
 
-    def pair_attention(s):
+    def pair_softmax(s):
         s = jnp.where(kv_mask, s * sm_scale, NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
-        return (p / jnp.sum(p, axis=2, keepdims=True)).astype(qkv.dtype)
+        return p / jnp.sum(p, axis=2, keepdims=True)
 
+    def q8(t):
+        """(blk, lp, 128) fp -> (int8 values, fp32 scalar scale)."""
+        tf = t.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(tf)), 1e-8) / 127.0
+        return jnp.clip(jnp.round(tf / s), -127, 127).astype(jnp.int8), s
+
+    dn = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
+    dn_o = (((2,), (1,)), ((0,), (0,)))  # (blk,lp,lp) @ (blk,lp,128)
     for c in range(num_heads // 2):
         q2 = qkv[:, :, 128 * c : 128 * (c + 1)]  # (blk, lp, 128)
         k2 = qkv[:, :, d + 128 * c : d + 128 * (c + 1)]
         v2 = qkv[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)]
-        dn = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
-        s_even = jax.lax.dot_general(
-            q2 * m_even, k2, dn, preferred_element_type=jnp.float32
-        )
-        s_odd = jax.lax.dot_general(
-            q2 * m_odd, k2, dn, preferred_element_type=jnp.float32
-        )
-        dn_o = (((2,), (1,)), ((0,), (0,)))  # (blk,lp,lp) @ (blk,lp,128)
-        o2 = jax.lax.dot_general(
-            pair_attention(s_even), v2 * m_even, dn_o,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            pair_attention(s_odd), v2 * m_odd, dn_o,
-            preferred_element_type=jnp.float32,
-        )
+        if quant_attn:
+            qe_q, s_qe = q8(q2 * m_even)
+            qo_q, s_qo = q8(q2 * m_odd)
+            k_q, s_k = q8(k2)
+            s_even = jax.lax.dot_general(
+                qe_q, k_q, dn, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_qe * s_k)
+            s_odd = jax.lax.dot_general(
+                qo_q, k_q, dn, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_qo * s_k)
+            ve_q, s_ve = q8(v2 * m_even)
+            vo_q, s_vo = q8(v2 * m_odd)
+            # probs are in [0, 1]: fixed 1/127 scale, no reduction needed
+            pe = jnp.clip(
+                jnp.round(pair_softmax(s_even) * 127.0), 0, 127
+            ).astype(jnp.int8)
+            po = jnp.clip(
+                jnp.round(pair_softmax(s_odd) * 127.0), 0, 127
+            ).astype(jnp.int8)
+            o2 = jax.lax.dot_general(
+                pe, ve_q, dn_o, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_ve / 127.0) + jax.lax.dot_general(
+                po, vo_q, dn_o, preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * (s_vo / 127.0)
+        else:
+            s_even = jax.lax.dot_general(
+                q2 * m_even, k2, dn, preferred_element_type=jnp.float32
+            )
+            s_odd = jax.lax.dot_general(
+                q2 * m_odd, k2, dn, preferred_element_type=jnp.float32
+            )
+            o2 = jax.lax.dot_general(
+                pair_softmax(s_even).astype(qkv.dtype), v2 * m_even, dn_o,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                pair_softmax(s_odd).astype(qkv.dtype), v2 * m_odd, dn_o,
+                preferred_element_type=jnp.float32,
+            )
         o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
 
 
-def _kernel(qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float):
-    _pair_attention_body(qkv_ref[...], o_ref, num_heads, kv_len, sm_scale)
+def _kernel(
+    qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float,
+    quant_attn: bool = False,
+):
+    _pair_attention_body(
+        qkv_ref[...], o_ref, num_heads, kv_len, sm_scale, quant_attn
+    )
+
+
+def _pair_attention_bwd_body(
+    qkv, g, dqkv_ref, num_heads: int, kv_len: int, sm_scale: float
+):
+    """Backward of the pair-packed attention: ``qkv`` (blk, lp, 3D) and the
+    output cotangent ``g`` (blk, lp, D) in VMEM -> writes d_qkv
+    (blk, lp, 3D) into ``dqkv_ref``.
+
+    Standard softmax-attention backward, per head pair and parity p:
+
+        S_p = (Q2*m_p) @ K2^T * scale   (masked keys -> -inf)
+        P_p = softmax(S_p)
+        dP  = (g*m_p) @ V2^T            (odd lanes of g*m_p are 0, so the
+                                         cross-head V lanes contribute 0)
+        dS  = P * (dP - rowsum(dP * P)) * scale
+        dQ2 += (dS @ K2) * m_p ; dK2 += dS^T @ (Q2*m_p) ; dV2 += P^T @ (g*m_p)
+
+    Masked key columns have P == 0 exactly, so dS == 0 there and no
+    gradient leaks to padded rows — matching the einsum-reference VJP.
+    Scores/probabilities never leave VMEM; the HBM traffic is exactly the
+    qkv read, the g read, and the dqkv write."""
+    blk, lp, _ = qkv.shape
+    dt = qkv.dtype  # matmul operands stay bf16 (fp32 MXU is 1/8 rate)
+    d = num_heads * 64
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    m_even = (lanes < 64).astype(dt)
+    m_odd = (lanes >= 64).astype(dt)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), 2)
+    kv_mask = cols < kv_len
+
+    dn_t = (((2,), (2,)), ((0,), (0,)))  # (blk,lp,128)x(blk,lp,128) -> (blk,lp,lp)
+    dn_o = (((2,), (1,)), ((0,), (0,)))  # (blk,lq,lk)x(blk,lk,128) -> (blk,lq,128)
+    dn_q = (((1,), (1,)), ((0,), (0,)))  # contract the q index of (blk,lq,lk)
+
+    for c in range(num_heads // 2):
+        q2 = qkv[:, :, 128 * c : 128 * (c + 1)]
+        k2 = qkv[:, :, d + 128 * c : d + 128 * (c + 1)]
+        v2 = qkv[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)]
+        g2 = g[:, :, 128 * c : 128 * (c + 1)]
+
+        dq2 = jnp.zeros((blk, lp, 128), jnp.float32)
+        dk2 = jnp.zeros((blk, lp, 128), jnp.float32)
+        dv2 = jnp.zeros((blk, lp, 128), jnp.float32)
+        for m_p in (m_even, m_odd):
+            qp = q2 * m_p
+            gp = g2 * m_p
+            s = jax.lax.dot_general(qp, k2, dn_t, preferred_element_type=jnp.float32)
+            s = jnp.where(kv_mask, s * sm_scale, NEG_INF)
+            mx = jnp.max(s, axis=2, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = e / jnp.sum(e, axis=2, keepdims=True)
+            pb = p.astype(dt)
+            dp = jax.lax.dot_general(gp, v2, dn_t, preferred_element_type=jnp.float32)
+            ds = (p * (dp - jnp.sum(dp * p, axis=2, keepdims=True)) * sm_scale
+                  ).astype(dt)
+            dq2 += jax.lax.dot_general(
+                ds, k2, dn_o, preferred_element_type=jnp.float32
+            ) * m_p.astype(jnp.float32)
+            dk2 += jax.lax.dot_general(
+                ds, qp, dn_q, preferred_element_type=jnp.float32
+            )
+            dv2 += jax.lax.dot_general(
+                pb, gp, dn_q, preferred_element_type=jnp.float32
+            )
+        dqkv_ref[:, :, 128 * c : 128 * (c + 1)] = dq2.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, d + 128 * c : d + 128 * (c + 1)] = dk2.astype(
+            dqkv_ref.dtype
+        )
+        dqkv_ref[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)] = dv2.astype(
+            dqkv_ref.dtype
+        )
+
+
+def _bwd_kernel(
+    qkv_ref, g_ref, dqkv_ref, *, num_heads: int, kv_len: int, sm_scale: float
+):
+    _pair_attention_bwd_body(
+        qkv_ref[...], g_ref[...], dqkv_ref, num_heads, kv_len, sm_scale
+    )
+
+
+def _attention_bwd(qkv, g, num_heads, kv_len, sm_scale, block_b, interpret):
+    """d_qkv of the pair-packed attention via one pallas_call."""
+    b, l, three_d = qkv.shape
+    d = three_d // 3
+    lp = _round_up(l, 128)
+    if lp != l:
+        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, lp - l), (0, 0)))
+    bp = _round_up(b, block_b)
+    if bp != b:
+        qkv = jnp.pad(qkv, ((0, bp - b), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, bp - b), (0, 0), (0, 0)))
+
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, num_heads=num_heads, kv_len=kv_len, sm_scale=sm_scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, lp, three_d), qkv.dtype),
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, lp, three_d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, lp, three_d), lambda i: (i, 0, 0)),
+        interpret=interpret,
+    )(qkv, g)
+    return dqkv[:b, :l]
 
 
 def _forward(qkv, num_heads, kv_len, sm_scale, block_b, interpret):
@@ -174,8 +334,17 @@ def _fwd(qkv, num_heads, kv_len, sm_scale, block_b, interpret):
 
 
 def _bwd(num_heads, kv_len, sm_scale, block_b, interpret, qkv, g):
-    _, vjp = jax.vjp(lambda x: _reference(x, num_heads, kv_len, sm_scale), qkv)
-    return vjp(g)
+    if not supports(num_heads, qkv.shape[-1] // 3 // num_heads):
+        _, vjp = jax.vjp(
+            lambda x: _reference(x, num_heads, kv_len, sm_scale), qkv
+        )
+        return vjp(g)
+    interpret = interpret or jax.default_backend() != "tpu"
+    # the bwd body holds ~2.5x the fwd working set (scores + dP + dS)
+    bb = 1 if qkv.dtype == jnp.float32 else max(1, block_b // 2)
+    return (
+        _attention_bwd(qkv, g, num_heads, kv_len, sm_scale, bb, interpret),
+    )
 
 
 fused_qkv_attention.defvjp(_fwd, _bwd)
@@ -198,6 +367,7 @@ fused_qkv_attention.defvjp(_fwd, _bwd)
 def _ln_qkv_kernel(
     x_ref, g_ref, b_ref, w_ref, sw_ref, bias_ref, inv_act_ref, o_ref,
     *, num_heads: int, kv_len: int, sm_scale: float, eps: float,
+    quant_attn: bool = False,
 ):
     blk, lp, d = x_ref.shape
     xf = x_ref[...].astype(jnp.float32)
@@ -223,17 +393,17 @@ def _ln_qkv_kernel(
         )
     qkv = acc * sw_ref[...].reshape(1, 3 * d) + bias_ref[...].reshape(1, 3 * d)
     qkv = qkv.astype(o_ref.dtype).reshape(blk, lp, 3 * d)
-    _pair_attention_body(qkv, o_ref, num_heads, kv_len, sm_scale)
+    _pair_attention_body(qkv, o_ref, num_heads, kv_len, sm_scale, quant_attn)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "kv_len", "sm_scale", "eps", "block_b",
-                     "interpret"),
+                     "interpret", "quant_attn"),
 )
 def _ln_qkv_forward(
     x, ln_scale, ln_bias, w, s_w, bias, inv_act,
-    num_heads, kv_len, sm_scale, eps, block_b, interpret,
+    num_heads, kv_len, sm_scale, eps, block_b, interpret, quant_attn=False,
 ):
     b, l, d = x.shape
     lp = _round_up(l, 128)
@@ -246,7 +416,7 @@ def _ln_qkv_forward(
     out = pl.pallas_call(
         functools.partial(
             _ln_qkv_kernel, num_heads=num_heads, kv_len=kv_len,
-            sm_scale=sm_scale, eps=eps,
+            sm_scale=sm_scale, eps=eps, quant_attn=quant_attn,
         ),
         out_shape=jax.ShapeDtypeStruct((bp, lp, d), x.dtype),
         grid=(bp // block_b,),
@@ -321,15 +491,36 @@ def _lqa_fwd(x, ln_scale, ln_bias, w, bias, *static):
 
 def _lqa_bwd(num_heads, kv_len, sm_scale, eps, block_b, interpret, res, g):
     x, ln_scale, ln_bias, w, bias = res
-    ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
-    _, vjp = jax.vjp(
-        lambda xx, gs, gb, ww, bb: _ln_qkv_reference(
-            xx, gs, gb, ww.astype(jnp.float32), ones, bb.astype(jnp.float32),
-            num_heads, kv_len, sm_scale, eps,
-        ),
-        x, ln_scale, ln_bias, w, bias,
+    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+        ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
+        _, vjp = jax.vjp(
+            lambda xx, gs, gb, ww, bb: _ln_qkv_reference(
+                xx, gs, gb, ww.astype(jnp.float32), ones,
+                bb.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
+            ),
+            x, ln_scale, ln_bias, w, bias,
+        )
+        return vjp(g)
+
+    # Split the recompute: LN + qkv projection backward are plain matmuls
+    # XLA runs at MXU rate, while the attention backward (the HBM-heavy
+    # einsum part: q/k/v transposes + two (B,H,L,L) fp32 score round-trips)
+    # goes through the pair-packed Pallas kernel, scores resident in VMEM.
+    def ln_proj(xx, gs, gb, ww, bb):
+        xf = xx.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps) * gs + gb
+        qkv = (y.astype(xx.dtype) @ ww.astype(xx.dtype)).astype(jnp.float32)
+        return (qkv + bb.astype(jnp.float32)).astype(xx.dtype)
+
+    qkv, vjp = jax.vjp(ln_proj, x, ln_scale, ln_bias, w, bias)
+    interpret_ = interpret or jax.default_backend() != "tpu"
+    bb_ = 1 if x.dtype == jnp.float32 else max(1, block_b)
+    d_qkv = _attention_bwd(
+        qkv, g, num_heads, kv_len, sm_scale, bb_, interpret_
     )
-    return vjp(g)
+    return vjp(d_qkv)
 
 
 fused_ln_qkv_attention.defvjp(_lqa_fwd, _lqa_bwd)
@@ -449,6 +640,7 @@ def fused_ln_qkv_attention_int8(
     eps: float = 1e-5,
     block_b: int = 2,
     interpret: bool = False,
+    quant_attn: bool = False,
 ) -> jnp.ndarray:
     """W8A8 variant (inference only, not differentiable): ``w`` is the
     fp32 master kernel, quantized per-output-column here; ``act_scale``
@@ -469,4 +661,5 @@ def fused_ln_qkv_attention_int8(
         x, ln_scale, ln_bias, w_q, s_col * act_scale,
         bias.astype(jnp.float32), (1.0 / act_scale).reshape(1),
         num_heads, kv_len, sm_scale, eps, block_b, interpret,
+        quant_attn=quant_attn,
     )

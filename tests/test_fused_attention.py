@@ -77,8 +77,8 @@ def test_unsupported_shapes_fall_back():
 
 
 def test_gradients_flow():
-    """custom_vjp backward (reference recompute) gives finite grads matching
-    the einsum path."""
+    """custom_vjp backward (pair-packed Pallas bwd kernel) matches the
+    einsum-path autograd."""
     b, l, h, d = 1, 64, 8, 512
     qkv = _qkv(b, l, d, seed=5)
     sm = (d // h) ** -0.5
@@ -88,6 +88,39 @@ def test_gradients_flow():
     )(qkv)
     g2 = jax.grad(lambda x: _reference(x, h, l, sm).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_padded_kv():
+    """Backward with kv_len < L: grads of the real-token outputs match the
+    einsum path, and padded rows receive no spurious key/value gradient."""
+    b, l, kv, h, d = 2, 128, 100, 8, 512
+    qkv = _qkv(b, l, d, seed=7)
+    sm = (d // h) ** -0.5
+
+    g1 = jax.grad(
+        lambda x: fused_qkv_attention(x, h, kv, sm, 2, True)[:, :kv].sum()
+    )(qkv)
+    g2 = jax.grad(lambda x: _reference(x, h, kv, sm)[:, :kv].sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+    # masked keys/values contribute nothing -> zero gradient in the pad
+    np.testing.assert_allclose(np.asarray(g1[:, kv:, d:]), 0.0, atol=1e-6)
+
+
+def test_gradients_bf16():
+    """bf16 backward (the train-step dtype) stays within bf16 rounding of
+    the fp32 einsum autograd."""
+    b, l, h, d = 2, 128, 12, 768
+    qkv32 = _qkv(b, l, d, seed=8)
+    sm = (d // h) ** -0.5
+
+    g1 = jax.grad(
+        lambda x: fused_qkv_attention(
+            x.astype(jnp.bfloat16), h, l, sm, 2, True
+        ).astype(jnp.float32).sum()
+    )(qkv32)
+    g2 = jax.grad(lambda x: _reference(x, h, l, sm).sum())(qkv32)
+    a, b_ = np.asarray(g1, np.float32), np.asarray(g2)
+    assert np.median(np.abs(a - b_)) < 2e-2 * (np.abs(b_).max() + 1e-6)
 
 
 @pytest.mark.parametrize("num_vpt", [0, 32])
@@ -194,6 +227,33 @@ def test_fused_ln_qkv_int8_close():
     # int8 quantization noise; attention softmax compresses it further
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
     assert np.median(err) < 0.02 * (np.abs(np.asarray(ref)).max() + 1e-6)
+
+
+def test_fused_ln_qkv_int8_quant_attn_close():
+    """quant_attn=True (int8 QK^T/PV inside the kernel) stays close to the
+    float reference. Measured SLOWER than the bf16 attention matmuls on v5e
+    (3136 vs 3456 w/s pipeline) — kept as an opt-in knob, off by default."""
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention_int8,
+    )
+
+    b, l, h, d = 1, 128, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=11)
+    sm = (d // h) ** -0.5
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    y = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True) + 1e-5)
+    y = y * np.asarray(g) + np.asarray(be)
+    act_scale = jnp.asarray(np.abs(y).max() / 127.0)
+    out = fused_ln_qkv_attention_int8(
+        x, g, be, w, bias, act_scale, h, l, sm, quant_attn=True
+    )
+    ref = _ln_qkv_reference(
+        x, g, be, w, jnp.ones((3 * d,), jnp.float32), bias, h, l, sm, 1e-5
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert np.median(err) < 0.03 * (np.abs(np.asarray(ref)).max() + 1e-6)
 
 
 def test_fused_ln_qkv_gradients():
