@@ -137,10 +137,15 @@ def main() -> None:
     # ordering so the headline number is the checkpoint-parity path.
     dec_pre = os.environ.get("BENCH_DECODER", "post") == "pre"
     attn = os.environ.get("BENCH_ATTN", "auto")  # auto|flash|sdpa
+    # Static-int8 QK^T/PV inside the fused attention kernel (calibrated
+    # q/k/v scales; ops/fused_attention._pair_attention_body_static).
+    q_attn = (
+        os.environ.get("BENCH_QUANT_ATTN", "0") == "1" and quant_env == "int8_static"
+    )
     model, _ = _flagship(
         dtype=jnp.bfloat16, quant_int8=quant,
         quant_mode="static" if quant_env == "int8_static" else "dynamic",
-        decoder_before_upsample=dec_pre, attn_backend=attn,
+        decoder_before_upsample=dec_pre, attn_backend=attn, quant_attn=q_attn,
     )
     h, w = (
         int(os.environ.get("BENCH_IMG_H", "2048")),

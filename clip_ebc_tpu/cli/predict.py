@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8", "int8_static"])
     p.add_argument("--calib_images", type=int, default=2)
+    p.add_argument("--quant_attn", action="store_true",
+                   help="with --quant int8_static: int8 QK^T/PV with "
+                        "calibrated static q/k/v scales")
+    p.add_argument("--packed_eval", action="store_true",
+                   help="with --sliding_window: pack windows across images "
+                        "into fixed-size forward batches (ops/packed_eval.py)")
+    p.add_argument("--batch_windows", type=int, default=128,
+                   help="forward batch size for --packed_eval")
     p.add_argument("--out", type=str, default="predictions.csv")
     p.add_argument("--save_density", type=str, default=None,
                    help="directory for per-image density .npy files")
@@ -105,11 +113,16 @@ def main(argv=None) -> None:
             args.reduction, args.truncation, args.bins_dataset,
             args.granularity, args.anchor_points,
         )
+    if args.quant_attn and args.quant != "int8_static":
+        raise SystemExit("--quant_attn requires --quant int8_static")
+    if args.packed_eval and not args.sliding_window:
+        raise SystemExit("--packed_eval requires --sliding_window")
     dtype = jnp.bfloat16 if args.amp else jnp.float32
     model_kw = dict(
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, dtype=dtype,
         quant_int8=args.quant.startswith("int8"),
+        quant_attn=args.quant_attn,
     )
     model = get_model(
         args.model, args.input_size, args.reduction, bins, anchors,
@@ -141,13 +154,24 @@ def main(argv=None) -> None:
     if args.save_density:
         os.makedirs(args.save_density, exist_ok=True)
 
+    def densities():
+        if args.packed_eval:
+            yield from evaluator.predict_densities_packed(
+                variables,
+                (normalize_image(_load_image(p)) for p in paths),
+                batch_windows=args.batch_windows,
+            )
+        else:
+            for path in paths:
+                image = normalize_image(_load_image(path))
+                yield evaluator.predict_density(variables, image)
+
     # incremental write: one bad image must not lose prior results
     n = 0
     with open(args.out, "w") as f:
         f.write("image,count\n")
-        for i, path in enumerate(paths):
-            image = normalize_image(_load_image(path))
-            density = evaluator.predict_density(variables, image)
+        for i, density in enumerate(densities()):
+            path = paths[i]
             count = float(np.asarray(density, np.float32).sum())
             f.write(f"{os.path.basename(path)},{count:.2f}\n")
             f.flush()

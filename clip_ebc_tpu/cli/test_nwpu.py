@@ -58,6 +58,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "max-reduction the dynamic mode pays")
     p.add_argument("--calib_images", type=int, default=2,
                    help="images used to calibrate int8_static activation scales")
+    p.add_argument("--quant_attn", action="store_true",
+                   help="with --quant int8_static: run QK^T/PV on the int8 "
+                        "MXU with calibrated static q/k/v scales "
+                        "(ops/fused_attention.py)")
+    p.add_argument("--packed_eval", action="store_true",
+                   help="with --sliding_window: pack windows across images "
+                        "into fixed-size forward batches (one compiled trunk "
+                        "program for the whole run, no per-image padding "
+                        "waste; ops/packed_eval.py)")
+    p.add_argument("--batch_windows", type=int, default=128,
+                   help="forward batch size for --packed_eval")
     p.add_argument("--limit", type=int, default=None, help="process only the first N images (smoke tests)")
     p.add_argument("--disable_size_check", action="store_true")
     return p
@@ -88,11 +99,16 @@ def main(argv=None) -> None:
             args.reduction, args.truncation, "nwpu", args.granularity, args.anchor_points
         )
 
+    if args.quant_attn and args.quant != "int8_static":
+        raise SystemExit("--quant_attn requires --quant int8_static")
+    if args.packed_eval and not args.sliding_window:
+        raise SystemExit("--packed_eval requires --sliding_window")
     dtype = jnp.bfloat16 if args.amp else jnp.float32
     model_kw = dict(
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, vpt_drop=args.vpt_drop, dtype=dtype,
         quant_int8=args.quant.startswith("int8"),
+        quant_attn=args.quant_attn,
     )
     model = get_model(
         args.model, args.input_size, args.reduction, bins, anchors,
@@ -133,12 +149,30 @@ def main(argv=None) -> None:
 
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
     lines = []
-    for i in range(n):
-        image, name = dataset[i]
-        count = evaluator.predict_count(variables, image)
-        lines.append(f"{os.path.splitext(name)[0]} {count}")
-        if (i + 1) % 100 == 0:
-            print(f"{i + 1}/{n}")
+    if args.packed_eval:
+        names = []
+
+        def images():
+            for i in range(n):
+                image, name = dataset[i]
+                names.append(name)
+                yield image
+
+        densities = evaluator.predict_densities_packed(
+            variables, images(), batch_windows=args.batch_windows
+        )
+        for i, density in enumerate(densities):
+            count = float(density.sum())
+            lines.append(f"{os.path.splitext(names[i])[0]} {count}")
+            if (i + 1) % 100 == 0:
+                print(f"{i + 1}/{n}")
+    else:
+        for i in range(n):
+            image, name = dataset[i]
+            count = evaluator.predict_count(variables, image)
+            lines.append(f"{os.path.splitext(name)[0]} {count}")
+            if (i + 1) % 100 == 0:
+                print(f"{i + 1}/{n}")
 
     os.makedirs(args.result_dir, exist_ok=True)
     src = args.weight_path if args.weight_path is not None else args.pretrained

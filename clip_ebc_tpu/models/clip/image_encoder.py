@@ -62,6 +62,7 @@ class ClipViT(nn.Module):
     features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
     quant_int8: bool = False  # W8A8 inference matmuls (ops/quant.py)
     quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
+    quant_attn: bool = False  # static-int8 QK^T/PV (needs calibrated qkv_amax)
     # Pallas fused qkv-attention (ops/fused_attention.py): the sequence is
     # padded once to a 128-multiple for the whole trunk and padded rows are
     # masked as keys inside the kernel.
@@ -165,6 +166,7 @@ class ClipViT(nn.Module):
                 kv_len=kv_len,
                 quant_int8=self.quant_int8,
                 quant_mode=self.quant_mode,
+                quant_attn=self.quant_attn,
                 name=f"resblock_{i}",
             )
             if use_vpt and self.deep_vpt and i > 0:

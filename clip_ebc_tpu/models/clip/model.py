@@ -80,6 +80,7 @@ class ClipEBC(nn.Module):
     fused_head: str = "auto"  # "auto" | "on" | "off" (Pallas head at eval)
     quant_int8: bool = False  # W8A8 int8 inference matmuls in the ViT trunk
     quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
+    quant_attn: bool = False  # static-int8 QK^T/PV (static mode only)
     # TPU-optimized variant: run the residual decoder at the encoder's
     # native grid and upsample afterwards. At reduction 8 this cuts the
     # decoder's FLOPs 4x (it costs as much as the whole ViT-B trunk when
@@ -131,6 +132,7 @@ class ClipEBC(nn.Module):
                 attn_impl=attn,
                 quant_int8=self.quant_int8,
                 quant_mode=self.quant_mode,
+                quant_attn=self.quant_attn,
                 fused_qkv=use_fused_qkv(self.attn_backend),
             )
         else:
@@ -284,6 +286,7 @@ def build_clip_ebc(
     decoder_before_upsample: bool = False,
     quant_int8: bool = False,
     quant_mode: str = "dynamic",
+    quant_attn: bool = False,
     **_: Any,
 ) -> ClipEBC:
     """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
@@ -315,6 +318,7 @@ def build_clip_ebc(
         decoder_before_upsample=decoder_before_upsample,
         quant_int8=quant_int8,
         quant_mode=quant_mode,
+        quant_attn=quant_attn,
     )
     # Attach the optimizer mask (consumed by Trainer).
     if is_vit:

@@ -177,6 +177,7 @@ class MultiHeadAttention(nn.Module):
     kv_len: Optional[int] = None
     quant_int8: bool = False
     quant_mode: str = "dynamic"
+    quant_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -206,9 +207,18 @@ class MultiHeadAttention(nn.Module):
             kv = self.kv_len or l
             if static_q:
                 act_scale = jnp.maximum(amax, 1e-8 * 127.0) / 127.0
+                attn_scales = None
+                if self.quant_attn:
+                    # calibrated q/k/v output ranges (recorded by the
+                    # unfused calibration pass below)
+                    qkv_amax = self.variable(
+                        "quant", "qkv_amax", lambda: jnp.zeros((3,), jnp.float32)
+                    ).value
+                    attn_scales = jnp.maximum(qkv_amax, 1e-8 * 127.0) / 127.0
                 out = fused_ln_qkv_attention_int8(
                     x, g, bb, k, bias, act_scale,
                     self.num_heads, kv, dh**-0.5, eps,
+                    attn_scales=attn_scales,
                 )
             else:
                 out = fused_ln_qkv_attention(
@@ -217,6 +227,23 @@ class MultiHeadAttention(nn.Module):
             return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
 
         qkv = self.dense_cls(3 * d, dtype=self.dtype, name="in_proj")(x)
+        if (
+            self.quant_int8
+            and not self.is_initializing()
+            and self.is_mutable_collection("quant")
+        ):
+            # Calibration pass: record per-{q,k,v} output max-abs for the
+            # static int8 attention (ops/fused_attention.py
+            # _pair_attention_body_static). Cheap (one reduction) and
+            # always recorded so any calibrated checkpoint can enable
+            # quant_attn later without recalibrating.
+            amax3 = jnp.max(
+                jnp.abs(qkv.astype(jnp.float32)).reshape(b * l, 3, d), axis=(0, 2)
+            )
+            qkv_amax = self.variable(
+                "quant", "qkv_amax", lambda: jnp.zeros((3,), jnp.float32)
+            )
+            qkv_amax.value = jnp.maximum(qkv_amax.value, amax3)
 
         if self.fused_qkv and mask is None:
             from ..ops.fused_attention import fused_qkv_attention, supports
@@ -265,6 +292,7 @@ class ResidualAttentionBlock(nn.Module):
     kv_len: Optional[int] = None
     quant_int8: bool = False
     quant_mode: str = "dynamic"
+    quant_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -275,7 +303,8 @@ class ResidualAttentionBlock(nn.Module):
             self.num_heads, dtype=self.dtype, attn_impl=self.attn_impl,
             dense_cls=self.dense_cls, fused_qkv=self.fused_qkv,
             kv_len=self.kv_len, quant_int8=self.quant_int8,
-            quant_mode=self.quant_mode, name="attn",
+            quant_mode=self.quant_mode, quant_attn=self.quant_attn,
+            name="attn",
         )
         fuse_ln = (
             self.fused_qkv

@@ -146,6 +146,61 @@ def _pair_attention_body(
         o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
 
 
+def _pair_attention_body_static(
+    qkv_q, o_ref, aq, num_heads: int, kv_len: int, sm_scale: float
+):
+    """int8-native pair-packed attention with CALIBRATED static scales.
+
+    ``qkv_q`` (blk, lp, 3D) int8, already quantized by the caller with
+    per-{q,k,v} per-tensor scales; ``aq`` (3,) fp32 holds those dequant
+    scales (s_q, s_k, s_v). Unlike the dynamic ``quant_attn`` path there
+    are NO in-kernel max reductions and no q/k/v round/clip passes — the
+    only remaining elementwise quant work is the softmax-probability
+    round (probs are in [0, 1] by construction: fixed 1/127 scale).
+    Lane masking uses selects on the int8 operands (exact: 0 stays 0)."""
+    blk, lp, _ = qkv_q.shape
+    d = num_heads * 64
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    even = lanes < 64
+    zero8 = jnp.zeros((), jnp.int8)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), 2)
+    kv_mask = cols < kv_len
+
+    s_qk = aq[0] * aq[1] * sm_scale  # dequant + softmax scale, one scalar
+    s_pv = aq[2] * (1.0 / 127.0)
+
+    def softmax_q8(s_i32):
+        s = jnp.where(kv_mask, s_i32.astype(jnp.float32) * s_qk, NEG_INF)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        return jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+
+    dn = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
+    dn_o = (((2,), (1,)), ((0,), (0,)))  # (blk,lp,lp) @ (blk,lp,128)
+    for c in range(num_heads // 2):
+        q2 = qkv_q[:, :, 128 * c : 128 * (c + 1)]  # (blk, lp, 128) int8
+        k2 = qkv_q[:, :, d + 128 * c : d + 128 * (c + 1)]
+        v2 = qkv_q[:, :, 2 * d + 128 * c : 2 * d + 128 * (c + 1)]
+        s_even = jax.lax.dot_general(
+            jnp.where(even, q2, zero8), k2, dn, preferred_element_type=jnp.int32
+        )
+        s_odd = jax.lax.dot_general(
+            jnp.where(even, zero8, q2), k2, dn, preferred_element_type=jnp.int32
+        )
+        o2 = (
+            jax.lax.dot_general(
+                softmax_q8(s_even), jnp.where(even, v2, zero8), dn_o,
+                preferred_element_type=jnp.int32,
+            )
+            + jax.lax.dot_general(
+                softmax_q8(s_odd), jnp.where(even, zero8, v2), dn_o,
+                preferred_element_type=jnp.int32,
+            )
+        ).astype(jnp.float32) * s_pv
+        o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
+
+
 def _kernel(
     qkv_ref, o_ref, *, num_heads: int, kv_len: int, sm_scale: float,
     quant_attn: bool = False,
@@ -365,9 +420,9 @@ fused_qkv_attention.defvjp(_fwd, _bwd)
 
 
 def _ln_qkv_kernel(
-    x_ref, g_ref, b_ref, w_ref, sw_ref, bias_ref, inv_act_ref, o_ref,
+    x_ref, g_ref, b_ref, w_ref, sw_ref, bias_ref, inv_act_ref, aq_ref, o_ref,
     *, num_heads: int, kv_len: int, sm_scale: float, eps: float,
-    quant_attn: bool = False,
+    quant_attn=False,
 ):
     blk, lp, d = x_ref.shape
     xf = x_ref[...].astype(jnp.float32)
@@ -392,6 +447,16 @@ def _ln_qkv_kernel(
             preferred_element_type=jnp.float32,
         )
     qkv = acc * sw_ref[...].reshape(1, 3 * d) + bias_ref[...].reshape(1, 3 * d)
+    if quant_attn == "static":
+        # sw/bias were pre-folded with the per-{q,k,v} inverse calibrated
+        # scales, so `qkv` is already in the int8 domain: one round/clip
+        # pass and the whole attention runs on the int8 MXU.
+        qkv_q = jnp.clip(jnp.round(qkv), -127, 127).astype(jnp.int8)
+        _pair_attention_body_static(
+            qkv_q.reshape(blk, lp, 3 * d), o_ref, aq_ref[...],
+            num_heads, kv_len, sm_scale,
+        )
+        return
     qkv = qkv.astype(o_ref.dtype).reshape(blk, lp, 3 * d)
     _pair_attention_body(qkv, o_ref, num_heads, kv_len, sm_scale, quant_attn)
 
@@ -402,7 +467,7 @@ def _ln_qkv_kernel(
                      "interpret", "quant_attn"),
 )
 def _ln_qkv_forward(
-    x, ln_scale, ln_bias, w, s_w, bias, inv_act,
+    x, ln_scale, ln_bias, w, s_w, bias, inv_act, aq,
     num_heads, kv_len, sm_scale, eps, block_b, interpret, quant_attn=False,
 ):
     b, l, d = x.shape
@@ -428,10 +493,11 @@ def _ln_qkv_forward(
             pl.BlockSpec((3 * d,), lambda i: (0,)),
             pl.BlockSpec((3 * d,), lambda i: (0,)),
             pl.BlockSpec((1,), lambda i: (0,)),
+            pl.BlockSpec((3,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
         interpret=interpret,
-    )(x, ln_scale, ln_bias, w, s_w, bias, inv_act)
+    )(x, ln_scale, ln_bias, w, s_w, bias, inv_act, aq)
     return out[:b, :l]
 
 
@@ -479,7 +545,7 @@ def fused_ln_qkv_attention(
         block_b = 1
     return _ln_qkv_forward(
         x, ln_scale, ln_bias, w.astype(x.dtype), ones,
-        bias.astype(jnp.float32), one,
+        bias.astype(jnp.float32), one, jnp.ones((3,), jnp.float32),
         num_heads, kv_len, sm_scale, eps, block_b, interpret,
     )
 
@@ -641,10 +707,18 @@ def fused_ln_qkv_attention_int8(
     block_b: int = 2,
     interpret: bool = False,
     quant_attn: bool = False,
+    attn_scales=None,
 ) -> jnp.ndarray:
     """W8A8 variant (inference only, not differentiable): ``w`` is the
     fp32 master kernel, quantized per-output-column here; ``act_scale``
-    the calibrated per-tensor scale of the LN output (scalar array)."""
+    the calibrated per-tensor scale of the LN output (scalar array).
+
+    ``attn_scales`` (3,): CALIBRATED per-tensor max-abs/127 scales of the
+    q, k, v projection outputs — runs QK^T and PV on the int8 MXU with
+    static scales (quant_attn="static"): the q/k/v quantization folds
+    into the projection's existing dequant multiply (zero extra passes),
+    unlike the dynamic ``quant_attn`` whose in-kernel max reductions
+    measured slower than the int8 MXU gain."""
     wf = w.astype(jnp.float32)
     s_col = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-8)  # (3D,)
     w_q = jnp.clip(jnp.round(wf / s_col), -127, 127).astype(jnp.int8)
@@ -657,9 +731,22 @@ def fused_ln_qkv_attention_int8(
     interpret = interpret or jax.default_backend() != "tpu"
     if x.dtype == jnp.float32:
         block_b = 1
+    sw = s_col * act_scale  # (3D,) dequant of the int32 qkv accumulator
+    bias_f = bias.astype(jnp.float32)
+    aq = jnp.ones((3,), jnp.float32)
+    if attn_scales is not None:
+        # Fold the per-{q,k,v} int8 quantization into the projection's
+        # dequant multiply + bias: the kernel then emits qkv directly in
+        # the int8 domain (one round/clip, no extra scaling pass).
+        aq = jnp.asarray(attn_scales, jnp.float32).reshape(3)
+        d = w.shape[0]
+        inv_lane = jnp.repeat(1.0 / aq, d)  # (3D,)
+        sw = sw * inv_lane
+        bias_f = bias_f * inv_lane
+        quant_attn = "static"
     return _ln_qkv_forward(
-        x, ln_scale, ln_bias, w_q, s_col * act_scale,
-        bias.astype(jnp.float32), (1.0 / act_scale).reshape(1),
+        x, ln_scale, ln_bias, w_q, sw,
+        bias_f, (1.0 / act_scale).reshape(1), aq,
         num_heads, kv_len, sm_scale, eps, block_b, interpret,
         quant_attn=quant_attn,
     )

@@ -105,18 +105,33 @@ def sliding_window_predict(
             f"model produced {preds.shape[-2:]} blocks for window {window} "
             f"at reduction {reduction}"
         )
-    preds = preds.astype(jnp.float32)
+    return assemble_windows(
+        preds[:n], (h, w), window, stride, reduction, strategy
+    )
 
+
+def assemble_windows(
+    preds: jnp.ndarray,  # (n, wh/r, ww/r) per-window densities, grid order
+    image_hw: Tuple[int, int],
+    window: Tuple[int, int],
+    stride: Tuple[int, int],
+    reduction: int,
+    strategy: str = "average",
+) -> jnp.ndarray:
+    """Overlap-average (or -max) assembly of per-window densities into the
+    full (H/r, W/r) map. The window grid is static, so every window's flat
+    output indices — and the overlap hit-count map — are compile-time numpy
+    constants; assembly is ONE parallel scatter (no serial scan)."""
+    (h, w) = image_hw
+    bh, bw = window[0] // reduction, window[1] // reduction
     hr, wr = h // reduction, w // reduction
-    # The window grid is static, so every window's flat output indices —
-    # and the overlap hit-count map — are compile-time numpy constants.
-    # Assembly is then ONE parallel scatter (no serial scan over windows).
+    preds = preds.astype(jnp.float32)
     starts_np = np.asarray(window_grid((h, w), window, stride)) // reduction  # (n, 2)
     oy, ox = np.mgrid[0:bh, 0:bw]  # (bh, bw)
     flat_idx = (
         (starts_np[:, 0, None, None] + oy) * wr + (starts_np[:, 1, None, None] + ox)
     ).astype(np.int32)  # (n, bh, bw)
-    preds_valid = preds[:n].reshape(-1)
+    preds_valid = preds.reshape(-1)
 
     if strategy == "average":
         cnt = np.zeros(hr * wr, np.float32)

@@ -97,25 +97,11 @@ class Evaluator:
 
     def predict_density(self, variables, image: np.ndarray) -> jnp.ndarray:
         """(H, W, 3) -> (H/r, W/r) density map."""
-        h, w = image.shape[:2]
-        nh, nw = h, w
-        if self.sliding_window and self.window is not None:
-            # images smaller than one window: pad up so the grid exists
-            nh, nw = max(nh, self.window[0]), max(nw, self.window[1])
-        pad = self.pad_to_multiple
-        if pad:
-            nh, nw = -(-nh // pad) * pad, -(-nw // pad) * pad
-        if (nh, nw) != (h, w):
-            # Images here are already ImageNet-normalized: black is
-            # -mean/std per channel, not 0.
-            from ..config import IMAGENET_MEAN, IMAGENET_STD
-
-            black = -(np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD))
-            padded = np.broadcast_to(
-                black.astype(image.dtype), (nh, nw, image.shape[2])
-            ).copy()
-            padded[:h, :w] = image
-            image = padded
+        # Images smaller than one window pad up so the grid exists, and
+        # pad_to_multiple buckets eval shapes; padding is ImageNet-
+        # normalized black (-mean/std per channel), not 0.
+        image, (h, w) = self._pad_image(image)
+        nh, nw = image.shape[:2]
         image = jnp.asarray(image)
 
         if self.mesh is not None and jax.process_count() > 1:
@@ -145,6 +131,62 @@ class Evaluator:
 
     def predict_count(self, variables, image: np.ndarray) -> float:
         return float(self.predict_density(variables, image).sum())
+
+    def _pad_image(self, image: np.ndarray):
+        """Apply the window-minimum / pad_to_multiple padding policy;
+        returns (padded image, original (h, w))."""
+        h, w = image.shape[:2]
+        nh, nw = h, w
+        if self.sliding_window and self.window is not None:
+            nh, nw = max(nh, self.window[0]), max(nw, self.window[1])
+        pad = self.pad_to_multiple
+        if pad:
+            nh, nw = -(-nh // pad) * pad, -(-nw // pad) * pad
+        if (nh, nw) != (h, w):
+            from ..config import IMAGENET_MEAN, IMAGENET_STD
+
+            black = -(np.asarray(IMAGENET_MEAN) / np.asarray(IMAGENET_STD))
+            padded = np.broadcast_to(
+                black.astype(image.dtype), (nh, nw, image.shape[2])
+            ).copy()
+            padded[:h, :w] = image
+            image = padded
+        return image, (h, w)
+
+    def predict_densities_packed(
+        self, variables, images, batch_windows: int = 128, chunk: int = 16
+    ):
+        """Generator of (H/r, W/r) density maps for an iterable of images,
+        with windows packed ACROSS images into fixed ``batch_windows``-size
+        forward batches (ops/packed_eval.py): the trunk program compiles
+        once for the whole stream and never runs partially empty — the
+        mixed-size serving path (single-chip; per-image ``mesh`` sharding
+        does not apply here)."""
+        if not self.sliding_window:
+            raise ValueError("packed prediction requires sliding_window=True")
+        from ..ops.packed_eval import WindowPacker
+
+        forward, ctx = self._forward_fn(variables)
+        packer = WindowPacker(
+            forward, ctx, self.window, self.stride, self.reduction,
+            self.strategy, batch_windows=batch_windows, chunk=chunk,
+        )
+        valid = []  # original (h, w) per submitted image, FIFO
+
+        def drain():
+            for (ph, pw), density in packer.ready():
+                h, w = valid.pop(0)
+                if (ph, pw) != (h, w):
+                    density = density[: h // self.reduction, : w // self.reduction]
+                yield density
+
+        for image in images:
+            padded, hw = self._pad_image(np.asarray(image))
+            valid.append(hw)
+            packer.add(jnp.asarray(padded))
+            yield from drain()
+        packer.flush()
+        yield from drain()
 
 
 def evaluate(
@@ -202,4 +244,60 @@ def evaluate(
         pending = (count, gt)
     if pending is not None:
         acc.update(float(pending[0]), pending[1])
+    return acc.result()
+
+
+def evaluate_packed(
+    evaluator: Evaluator,
+    variables,
+    dataset,
+    batch_windows: int = 128,
+    chunk: int = 16,
+    progress: bool = False,
+) -> Dict[str, float]:
+    """`evaluate` with cross-image window packing: windows from
+    consecutive images share fixed-size forward batches
+    (Evaluator.predict_densities_packed), so mixed-size datasets neither
+    pay per-image bucket padding nor recompile the trunk per image shape.
+    Requires a sliding-window Evaluator; counts/metrics match `evaluate`
+    up to forward-batch composition."""
+    import queue
+    import threading
+
+    acc = CountErrorAccumulator()
+    n = len(dataset)
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def producer():
+        for i in range(n):
+            try:
+                images, labels, _ = dataset[i]
+                q.put((images[0], float(len(labels[0]))))
+            except Exception as e:
+                q.put(e)
+                return
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    gts = []
+
+    def images():
+        for _ in range(n):
+            item = q.get()
+            if isinstance(item, Exception):
+                raise item
+            image, gt = item
+            gts.append(gt)
+            yield image
+
+    densities = evaluator.predict_densities_packed(
+        variables, images(), batch_windows=batch_windows, chunk=chunk
+    )
+    done = 0
+    for density in densities:
+        acc.update(float(density.sum()), gts[done])
+        done += 1
+        if progress and done % 50 == 0:
+            print(f"eval {done}/{n}")
+    assert done == n, f"packed eval produced {done} of {n} densities"
     return acc.result()

@@ -1,0 +1,103 @@
+"""Speed-of-light ceilings for the flagship sliding-window inference path.
+
+Derives, from XLA's own cost analysis (CPU backend, einsum attention so no
+Pallas interpreter noise) plus the analytic pair-packing overhead, the
+per-image FLOP bill of the 2048x3072 NWPU-scale eval, and converts it to
+absolute windows/s ceilings on TPU v5e (197 TFLOP/s bf16, 394 TOPS int8).
+
+This quantifies the VERDICT-r2 question "can the reference-order path
+reach 5x the A100 estimate (6000 w/s)": the answer is a structural no —
+see the printed table — while the decoder-before-upsample deploy variant
+has genuine headroom.
+
+Usage: JAX_PLATFORMS=cpu python scripts/ceiling_math.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+V5E_BF16 = 197e12
+V5E_INT8 = 394e12
+HBM_BW = 820e9  # v5e ~819 GB/s
+
+H, W = 2048, 3072
+WIN, STRIDE = 224, 224
+
+
+def flops_of(model, n_windows):
+    x = jnp.zeros((n_windows, WIN, WIN, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    text_feats = jax.jit(lambda v: model.apply(v, method="encode_text"))(variables)
+
+    def fwd(v, xx):
+        return model.apply(v, xx, train=False, text_feats=text_feats)
+
+    lowered = jax.jit(fwd).lower(variables, x)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost["flops"])
+
+
+def main():
+    from __graft_entry__ import _flagship
+    from clip_ebc_tpu.ops.sliding_window import window_grid
+
+    n = window_grid((H, W), (WIN, WIN), (STRIDE, STRIDE)).shape[0]
+    n_pad = ((n + 15) // 16) * 16
+
+    # einsum attention -> cost_analysis counts the *useful* attention FLOPs
+    model_post, _ = _flagship(dtype=jnp.bfloat16, attn_backend="sdpa")
+    model_pre, _ = _flagship(
+        dtype=jnp.bfloat16, attn_backend="sdpa", decoder_before_upsample=True
+    )
+    f_post = flops_of(model_post, n_pad)
+    f_pre = flops_of(model_pre, n_pad)
+
+    # Pair-packed attention executes 2x the useful QK^T/PV FLOPs (dh=64 on
+    # 128-wide MXU tiles; ops/fused_attention.py module docstring). Useful
+    # attention FLOPs per window: 12 layers x 2 matmuls x 2*L^2*D with
+    # L padded to 256 in the fused trunk, D=768.
+    L, D, LAYERS = 256, 768, 12
+    f_attn_useful = n_pad * LAYERS * 2 * (2 * L * L * D)
+    f_attn_executed = 2 * f_attn_useful
+    overhead = f_attn_executed - f_attn_useful
+
+    # HBM floor: every resblock reads+writes the (n, L, D) stream a handful
+    # of times even when fully fused (x in, attn out, mlp in/out, LN2) —
+    # count 6 bf16 passes/layer as an optimistic floor, plus image+density.
+    stream_bytes = n_pad * L * D * 2
+    hbm_floor = LAYERS * 6 * stream_bytes / HBM_BW
+
+    print(f"windows/image: {n} (padded {n_pad}), image {H}x{W}, stride {STRIDE}")
+    print(f"FLOPs/image reference-order : {f_post/1e12:7.2f} TFLOP "
+          f"({f_post/n/1e9:6.1f} GFLOP/window)")
+    print(f"FLOPs/image decoder-pre     : {f_pre/1e12:7.2f} TFLOP "
+          f"({f_pre/n/1e9:6.1f} GFLOP/window)")
+    print(f"attention useful/executed   : {f_attn_useful/1e12:.2f} / "
+          f"{f_attn_executed/1e12:.2f} TFLOP (pair-packing 2x)")
+    print(f"HBM stream floor            : {hbm_floor*1e3:.1f} ms/image")
+    print()
+    print(f"{'path':<28}{'ceiling w/s':>12}{'vs A100 est':>12}")
+    for name, f in (("reference-order", f_post), ("decoder-pre", f_pre)):
+        for dtype, peak in (("bf16", V5E_BF16), ("int8", V5E_INT8)):
+            # attention executes 2x useful FLOPs; on the int8 path it runs
+            # at the int8 rate too (static-scale quant_attn)
+            t = (f - f_attn_useful + f_attn_executed) / peak
+            t = max(t, hbm_floor)
+            print(f"{name+' '+dtype:<28}{n/t:>12.0f}{n/t/1200.0:>12.2f}")
+    print()
+    print("5x the A100 estimate = 6000 w/s. The reference-order int8 ceiling"
+          " above\nassumes 100% MXU utilization on every matmul incl. the"
+          " packed attention,\nzero LN/softmax/scatter time beyond the HBM"
+          " floor, and zero dispatch — the\nbar sits essentially AT the"
+          " absolute speed of light for that path.")
+
+
+if __name__ == "__main__":
+    main()

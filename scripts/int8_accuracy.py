@@ -49,8 +49,12 @@ def main() -> None:
             for _ in range(args.n_eval // 6):
                 sweep.append(norm_scene(size, count))
 
+    q_attn = os.environ.get("INT8_QUANT_ATTN", "0") == "1"
     bf16, _ = _flagship(dtype=jnp.bfloat16)
-    quant, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True, quant_mode="static")
+    quant, _ = _flagship(
+        dtype=jnp.bfloat16, quant_int8=True, quant_mode="static",
+        quant_attn=q_attn,
+    )
     dyn, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True)
     variables = bf16.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16), train=False
@@ -96,6 +100,7 @@ def main() -> None:
     rel = np.abs(c_int8 - c_bf16) / np.maximum(np.abs(c_bf16), 1.0)
     result = {
         "n_images": len(sweep),
+        "quant_attn": q_attn,
         "bf16": e_bf16,
         "int8_static": e_int8,
         "count_rel_delta_mean": float(rel.mean()),

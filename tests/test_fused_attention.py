@@ -256,6 +256,60 @@ def test_fused_ln_qkv_int8_quant_attn_close():
     assert np.median(err) < 0.03 * (np.abs(np.asarray(ref)).max() + 1e-6)
 
 
+def test_fused_ln_qkv_int8_static_attn_scales_close():
+    """attn_scales (CALIBRATED per-{q,k,v} scales -> fully static int8
+    attention, no in-kernel reductions) stays close to the float
+    reference. This is the production quant_attn path."""
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention_int8,
+    )
+
+    b, l, h, d = 2, 128, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=13)
+    sm = (d // h) ** -0.5
+    xf = np.asarray(x, np.float32)
+    mu = xf.mean(-1, keepdims=True)
+    y = (xf - mu) / np.sqrt(((xf - mu) ** 2).mean(-1, keepdims=True) + 1e-5)
+    y = y * np.asarray(g) + np.asarray(be)
+    act_scale = jnp.asarray(np.abs(y).max() / 127.0)
+    # "calibrate" the q/k/v output ranges exactly (float qkv projection)
+    qkv_f = y @ np.asarray(w, np.float32) + np.asarray(bias, np.float32)
+    amax3 = np.abs(qkv_f.reshape(b * l, 3, d)).max(axis=(0, 2))
+    attn_scales = jnp.asarray(amax3 / 127.0, jnp.float32)
+    out = fused_ln_qkv_attention_int8(
+        x, g, be, w, bias, act_scale, h, l, sm, attn_scales=attn_scales
+    )
+    ref = _ln_qkv_reference(
+        x, g, be, w, jnp.ones((3 * d,), jnp.float32), bias, h, l, sm, 1e-5
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert np.median(err) < 0.03 * (np.abs(np.asarray(ref)).max() + 1e-6)
+
+
+def test_fused_ln_qkv_static_attn_padded_kv():
+    """Padded rows (>= kv_len) must not influence real tokens on the
+    static-int8 attention path (they are masked as keys before softmax)."""
+    from clip_ebc_tpu.ops.fused_attention import fused_ln_qkv_attention_int8
+
+    b, l, kv, h, d = 1, 128, 100, 12, 768
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=14)
+    act_scale = jnp.asarray(3.0 / 127.0)
+    scales = jnp.full((3,), 4.0 / 127.0, jnp.float32)
+    sm = (d // h) ** -0.5
+    out1 = fused_ln_qkv_attention_int8(
+        x, g, be, w, bias, act_scale, h, kv, sm, attn_scales=scales
+    )
+    # wildly different padding content must not change real-row outputs
+    x2 = x.at[:, kv:].set(7.7)
+    out2 = fused_ln_qkv_attention_int8(
+        x2, g, be, w, bias, act_scale, h, kv, sm, attn_scales=scales
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1[:, :kv]), np.asarray(out2[:, :kv])
+    )
+
+
 def test_fused_ln_qkv_gradients():
     from clip_ebc_tpu.ops.fused_attention import (
         _ln_qkv_reference,
@@ -320,6 +374,41 @@ def test_block_fused_ln_static_int8_runs():
     )
     v = dict(blk.init(jax.random.PRNGKey(0), x))
     v = calibrate_int8(lambda vv, bb: dyn.apply(vv, bb, mutable=["quant"]), v, [x])
+    got = np.asarray(blk.apply(v, x), np.float32)
+
+    ref = np.asarray(
+        ResidualAttentionBlock(num_heads=h).apply({"params": v["params"]}, x),
+        np.float32,
+    )
+    err = np.abs(got - ref)
+    assert np.median(err) < 0.05 * (np.abs(ref).max() + 1e-6), np.median(err)
+
+
+def test_block_quant_attn_static_end_to_end():
+    """quant_attn=True: calibration records the q/k/v output ranges
+    (``qkv_amax``), and the static block runs the fully-int8 attention —
+    output stays close to fp32, and the qkv_amax variable really is in
+    the calibrated tree."""
+    import functools
+
+    from clip_ebc_tpu.models.transformer import ResidualAttentionBlock
+    from clip_ebc_tpu.ops.quant import Int8Dense, calibrate_int8
+
+    b, l, h, d = 1, 128, 12, 768
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(b, l, d)), jnp.float32)
+    dense = functools.partial(Int8Dense, quant_mode="static")
+    blk = ResidualAttentionBlock(
+        num_heads=h, fused_qkv=True, kv_len=l, quant_int8=True,
+        quant_mode="static", dense_cls=dense, quant_attn=True,
+    )
+    dyn = ResidualAttentionBlock(
+        num_heads=h, fused_qkv=True, kv_len=l, quant_int8=True,
+        quant_mode="dynamic", dense_cls=Int8Dense,
+    )
+    v = dict(blk.init(jax.random.PRNGKey(0), x))
+    v = calibrate_int8(lambda vv, bb: dyn.apply(vv, bb, mutable=["quant"]), v, [x])
+    amax3 = np.asarray(v["quant"]["attn"]["qkv_amax"])
+    assert amax3.shape == (3,) and (amax3 > 0).all()
     got = np.asarray(blk.apply(v, x), np.float32)
 
     ref = np.asarray(
