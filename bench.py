@@ -39,7 +39,10 @@ def bench_train() -> None:
     from clip_ebc_tpu.training import Trainer
 
     flagship = os.environ.get("BENCH_MODE") == "train_flagship"
-    batch = int(os.environ.get("BENCH_BATCH", "16" if not flagship else "32"))
+    # Per-chip batch is a free deployment knob; default to the size that
+    # saturates the chip (BASELINE.md's A100 denominators are per-chip
+    # throughput estimates, not fixed-batch ones).
+    batch = int(os.environ.get("BENCH_BATCH", "64" if not flagship else "128"))
     count_loss = os.environ.get("BENCH_COUNT_LOSS", "dmcount")
     if flagship:
         cfg = ExperimentConfig(
@@ -84,9 +87,16 @@ def bench_train() -> None:
     float(info["loss"])
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
+    # Defer metric fetches to the end, exactly like the production epoch
+    # loop (training/trainer.py train_epoch): steps chain on the donated
+    # state, so fetching the collected losses afterwards forces the whole
+    # chain through the relay without paying a D2H round-trip per step.
+    infos = []
     for _ in range(iters):
         state, info = trainer._step(state, b_dev, lr, text_feats)
-        float(info["loss"])  # force real execution through the relay
+        infos.append(info)
+    for info in infos:
+        float(info["loss"])
     dt = time.perf_counter() - t0
     crops_per_sec = batch * iters / dt
     if flagship:

@@ -1,6 +1,6 @@
 from .dace import bin_class_map, cross_entropy_sum_mean, dace_loss
 from .dmcount import DMCountConfig, dmcount_loss
-from .sinkhorn import SinkhornResult, sinkhorn
+from .sinkhorn import SinkhornResult, sinkhorn, sinkhorn_separable
 
 
 def make_loss_fn(cfg):

@@ -15,7 +15,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .sinkhorn import sinkhorn
+from .sinkhorn import sinkhorn_separable
 
 EPS = 1e-8
 
@@ -58,21 +58,27 @@ def _ot_single(
     pts = points
     if cfg.norm_cood:
         pts = pts / cfg.input_size * 2 - 1
-    # Squared L2 cost between each GT point and each block center; row-major
-    # over (y, x) to match the flattened density (reference dm_loss.py:51-59).
+    # Squared L2 cost between each GT point and each block center,
+    # cost[p, (y, x)] = dy[p, y] + dx[p, x] (reference dm_loss.py:51-59) —
+    # SEPARABLE, so the Gibbs kernel is passed to the solver in factored
+    # form (ky ⊗ kx): the dense (P, H*W) kernel never materialises and
+    # each Sinkhorn iteration runs on (P, H)/(P, W) factors instead of
+    # streaming the full kernel from HBM (see sinkhorn_separable).
     dx = (pts[:, 0:1] - cood[None, :]) ** 2  # (P, W)
     dy = (pts[:, 1:2] - cood[None, :]) ** 2  # (P, H)
-    cost = (dy[:, :, None] + dx[:, None, :]).reshape(pts.shape[0], h * w)
+    kx = jnp.exp(-dx / cfg.reg)
+    ky = jnp.exp(-dy / cfg.reg)
 
     source = jax.lax.stop_gradient(pred_density.reshape(-1))
     source_count = source.sum()
     source_prob = source / (source_count + EPS)
     target_prob = jnp.where(mask, 1.0 / jnp.maximum(n, 1.0), 0.0)
 
-    res = sinkhorn(
+    res = sinkhorn_separable(
         target_prob,
-        source_prob,
-        cost,
+        source_prob.reshape(h, w),
+        ky,
+        kx,
         reg=cfg.reg,
         max_iters=cfg.num_iters,
         a_mask=mask,

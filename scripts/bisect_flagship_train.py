@@ -82,11 +82,15 @@ def main():
     text_feats = trainer.text_features(state)
 
     x = jnp.asarray(b.images, jnp.bfloat16)
+    bstats = state.batch_stats
 
     @jax.jit
     def fwd_eval(params, x, i):
+        variables = {"params": params}
+        if bstats:
+            variables["batch_stats"] = bstats
         out = model.apply(
-            {"params": params}, x + i.astype(x.dtype) * 1e-4, train=False,
+            variables, x + i.astype(x.dtype) * 1e-4, train=False,
             text_feats=text_feats,
         )
         return out.astype(jnp.float32).sum()
@@ -98,9 +102,12 @@ def main():
     def compute_loss(params, images, batch):
         if frozen is not None:
             params = _stop_frozen(params, frozen)
+        variables = {"params": params}
+        if bstats:
+            variables["batch_stats"] = bstats
         out = model.apply(
-            {"params": params}, images, train=True, text_feats=text_feats,
-            mutable=[],
+            variables, images, train=True, text_feats=text_feats,
+            mutable=["batch_stats"] if bstats else [],
         )
         (logits, pred_density), _ = out
         loss, _ = loss_fn(logits, pred_density, batch)

@@ -157,9 +157,12 @@ def test_clip_ebc_static_quant_end_to_end():
         lambda v, b: dyn.apply(v, b, train=False, mutable=["quant"]),
         variables, [x],
     )
-    # every trunk resblock matmul got a positive scale
+    # every trunk resblock matmul got a positive scale (leaves may be
+    # vectors, e.g. the (3,) per-{q,k,v} qkv_amax ranges)
     leaves = jax.tree.leaves(variables["quant"])
-    assert len(leaves) >= 12 * 4 and all(float(v) > 0 for v in leaves)
+    assert len(leaves) >= 12 * 4 and all(
+        float(jnp.min(v)) > 0 for v in leaves
+    )
 
     d_ref = np.asarray(base.apply(variables, x, train=False), np.float32)
     d_s = np.asarray(static.apply(variables, x, train=False), np.float32)

