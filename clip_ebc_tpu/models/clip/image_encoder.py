@@ -167,6 +167,11 @@ class ClipViT(nn.Module):
                 quant_int8=self.quant_int8,
                 quant_mode=self.quant_mode,
                 quant_attn=self.quant_attn,
+                # Under VPT the whole trunk is frozen (model.py
+                # _vpt_frozen_predicate freezes all of image_encoder except
+                # the prompts), so the fused attention backward can skip
+                # the LN/projection param cotangents entirely.
+                trunk_frozen=use_vpt,
                 name=f"resblock_{i}",
             )
             if use_vpt and self.deep_vpt and i > 0:

@@ -178,6 +178,11 @@ class MultiHeadAttention(nn.Module):
     quant_int8: bool = False
     quant_mode: str = "dynamic"
     quant_attn: bool = False
+    # The surrounding trunk is frozen (VPT): the fused LN+qkv backward
+    # emits dx only, via a single Pallas kernel (ops/fused_attention.py
+    # _ln_qkv_bwd_frozen). Only set when the caller stop_gradients the
+    # trunk params.
+    trunk_frozen: bool = False
 
     @nn.compact
     def __call__(
@@ -222,7 +227,8 @@ class MultiHeadAttention(nn.Module):
                 )
             else:
                 out = fused_ln_qkv_attention(
-                    x, g, bb, k, bias, self.num_heads, kv, dh**-0.5, eps
+                    x, g, bb, k, bias, self.num_heads, kv, dh**-0.5, eps,
+                    frozen=self.trunk_frozen,
                 )
             return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
 
@@ -246,9 +252,13 @@ class MultiHeadAttention(nn.Module):
             qkv_amax.value = jnp.maximum(qkv_amax.value, amax3)
 
         if self.fused_qkv and mask is None:
-            from ..ops.fused_attention import fused_qkv_attention, supports
+            from ..ops.fused_attention import (
+                MAX_FUSED_SEQ,
+                fused_qkv_attention,
+                supports,
+            )
 
-            if supports(self.num_heads, dh):
+            if supports(self.num_heads, dh) and l <= MAX_FUSED_SEQ:
                 out = fused_qkv_attention(
                     qkv, self.num_heads, self.kv_len or l, dh**-0.5
                 )
@@ -293,6 +303,7 @@ class ResidualAttentionBlock(nn.Module):
     quant_int8: bool = False
     quant_mode: str = "dynamic"
     quant_attn: bool = False
+    trunk_frozen: bool = False
 
     @nn.compact
     def __call__(
@@ -304,8 +315,11 @@ class ResidualAttentionBlock(nn.Module):
             dense_cls=self.dense_cls, fused_qkv=self.fused_qkv,
             kv_len=self.kv_len, quant_int8=self.quant_int8,
             quant_mode=self.quant_mode, quant_attn=self.quant_attn,
+            trunk_frozen=self.trunk_frozen,
             name="attn",
         )
+        from ..ops.fused_attention import MAX_FUSED_SEQ
+
         fuse_ln = (
             self.fused_qkv
             and mask is None
@@ -316,6 +330,12 @@ class ResidualAttentionBlock(nn.Module):
             # silently de-quantize the projection and change what "--quant
             # int8" means. Keep the flag's semantics: unfused Int8Dense qkv.
             and not (self.quant_int8 and self.quant_mode == "dynamic")
+            # Whole-sequence VMEM kernels stop fitting past lp=512 (the
+            # full-image eval at L=1664 asked for 62 MB of VMEM). Longer
+            # sequences keep the unfused path: Int8Dense projections stay
+            # int8, attention goes through attn_impl ("auto" routes
+            # L >= 1024 to the tiled flash kernel).
+            and x.shape[1] <= MAX_FUSED_SEQ
         )
         if fuse_ln:
             g, bb = _LNParams(d, name="ln_1")()

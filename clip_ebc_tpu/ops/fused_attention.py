@@ -53,6 +53,14 @@ from jax.experimental import pallas as pl
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Longest PADDED sequence the whole-sequence VMEM kernels handle: each
+# grid block holds x/qkv/out plus (lp, lp) fp32 score tiles entirely in
+# ~16 MB of VMEM, which stops fitting past lp=512 (measured: the full-image
+# eval at L=1664 asked for 62 MB). Longer sequences fall back to the
+# einsum/flash paths (transformer.py routes L >= 1024 to the tiled
+# flash-attention kernel).
+MAX_FUSED_SEQ = 512
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -376,7 +384,10 @@ def fused_qkv_attention(
     ``kv_len`` <= L: rows at index >= kv_len are treated as padding (masked
     as keys; their query outputs are unspecified).
     """
-    if not supports(num_heads, qkv.shape[-1] // 3 // num_heads):
+    if (
+        not supports(num_heads, qkv.shape[-1] // 3 // num_heads)
+        or _round_up(qkv.shape[1], 128) > MAX_FUSED_SEQ
+    ):
         return _reference(qkv, num_heads, kv_len, sm_scale)
     interpret = interpret or jax.default_backend() != "tpu"
     if qkv.dtype == jnp.float32:  # fp32 doubles VMEM; halve the block
@@ -389,7 +400,10 @@ def _fwd(qkv, num_heads, kv_len, sm_scale, block_b, interpret):
 
 
 def _bwd(num_heads, kv_len, sm_scale, block_b, interpret, qkv, g):
-    if not supports(num_heads, qkv.shape[-1] // 3 // num_heads):
+    if (
+        not supports(num_heads, qkv.shape[-1] // 3 // num_heads)
+        or _round_up(qkv.shape[1], 128) > MAX_FUSED_SEQ
+    ):
         _, vjp = jax.vjp(
             lambda x: _reference(x, num_heads, kv_len, sm_scale), qkv
         )
@@ -501,6 +515,92 @@ def _ln_qkv_forward(
     return out[:b, :l]
 
 
+def _ln_qkv_bwd_frozen_kernel(
+    x_ref, g_ref, gamma_ref, beta_ref, w_ref, bias_ref, dx_ref, dqkv_scr,
+    *, num_heads: int, kv_len: int, sm_scale: float, eps: float,
+):
+    """dx of x -> attention(qkv_proj(LN(x))) when LN/projection params are
+    FROZEN (VPT trunk): recompute LN + qkv on-chip, run the pair-packed
+    attention backward into VMEM scratch, contract d_qkv with W^T and
+    close the (param-frozen) LayerNorm backward — x and g are read once
+    and only dx is written. The split XLA path round-trips qkv, d_qkv and
+    d_y through HBM per layer."""
+    blk, lp, d = x_ref.shape
+    dt = dx_ref.dtype
+    xf = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(xf, axis=2, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=2, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    gamma = gamma_ref[...].reshape(1, 1, d)
+    y = xhat * gamma + beta_ref[...].reshape(1, 1, d)
+
+    dn = (((1,), (0,)), ((), ()))
+    qkv = (
+        jax.lax.dot_general(
+            y.astype(dt).reshape(blk * lp, d), w_ref[...], dn,
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[...].reshape(1, 3 * d)
+    ).astype(dt).reshape(blk, lp, 3 * d)
+
+    _pair_attention_bwd_body(
+        qkv, g_ref[...], dqkv_scr, num_heads, kv_len, sm_scale
+    )
+
+    # d_y = d_qkv @ W^T, contracted without materializing the transpose
+    dn_t = (((1,), (1,)), ((), ()))
+    dy = jax.lax.dot_general(
+        dqkv_scr[...].reshape(blk * lp, 3 * d), w_ref[...], dn_t,
+        preferred_element_type=jnp.float32,
+    ).reshape(blk, lp, d)
+
+    # LayerNorm backward (params frozen -> dx only)
+    dyh = dy * gamma
+    m1 = jnp.mean(dyh, axis=2, keepdims=True)
+    m2 = jnp.mean(dyh * xhat, axis=2, keepdims=True)
+    dx_ref[...] = (rstd * (dyh - m1 - xhat * m2)).astype(dt)
+
+
+def _ln_qkv_bwd_frozen(
+    x, g, ln_scale, ln_bias, w, bias, num_heads, kv_len, sm_scale, eps,
+    block_b, interpret,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, d = x.shape
+    lp = _round_up(l, 128)
+    if lp != l:
+        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, lp - l), (0, 0)))
+    bp = _round_up(b, block_b)
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, bp - b), (0, 0), (0, 0)))
+
+    dx = pl.pallas_call(
+        functools.partial(
+            _ln_qkv_bwd_frozen_kernel, num_heads=num_heads, kv_len=kv_len,
+            sm_scale=sm_scale, eps=eps,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp, lp, d), x.dtype),
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d,), lambda i: (0,)),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((3 * d,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((block_b, lp, d), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((block_b, lp, 3 * d), x.dtype)],
+        interpret=interpret,
+    )(x, g, ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
+      w.astype(x.dtype), bias.astype(jnp.float32))
+    return dx[:b, :l]
+
+
 def _ln_qkv_reference(
     x, ln_scale, ln_bias, w, s_w, bias, num_heads, kv_len, sm_scale, eps
 ):
@@ -515,7 +615,7 @@ def _ln_qkv_reference(
     return _reference(qkv, num_heads, kv_len, sm_scale)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def fused_ln_qkv_attention(
     x: jnp.ndarray,
     ln_scale: jnp.ndarray,
@@ -528,14 +628,24 @@ def fused_ln_qkv_attention(
     eps: float = 1e-5,
     block_b: int = 2,
     interpret: bool = False,
+    frozen: bool = False,
 ) -> jnp.ndarray:
     """LayerNorm -> joint qkv projection (bf16) -> pair-packed attention,
     one pallas_call. ``w`` (D, 3D) fp32/bf16 kernel, ``bias`` the qkv
     bias. Rows at index >= kv_len are padding (masked as keys; their
-    outputs are unspecified). Differentiable via reference recompute."""
+    outputs are unspecified). Differentiable via reference recompute.
+
+    ``frozen``: the LN/projection params are frozen (VPT trunk) — the
+    backward runs a single fused Pallas kernel emitting ONLY dx (param
+    cotangents are zeros, correct precisely because the caller
+    stop_gradients the frozen subtree), instead of round-tripping qkv /
+    d_qkv / d_y through HBM per layer."""
     ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
     one = jnp.ones((1,), jnp.float32)
-    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+    if (
+        not supports(num_heads, w.shape[1] // 3 // num_heads)
+        or _round_up(x.shape[1], 128) > MAX_FUSED_SEQ
+    ):
         return _ln_qkv_reference(
             x, ln_scale, ln_bias, w.astype(jnp.float32), ones,
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
@@ -555,9 +665,28 @@ def _lqa_fwd(x, ln_scale, ln_bias, w, bias, *static):
     return out, (x, ln_scale, ln_bias, w, bias)
 
 
-def _lqa_bwd(num_heads, kv_len, sm_scale, eps, block_b, interpret, res, g):
+def _lqa_bwd(
+    num_heads, kv_len, sm_scale, eps, block_b, interpret, frozen, res, g
+):
     x, ln_scale, ln_bias, w, bias = res
-    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+    fits = _round_up(x.shape[1], 128) <= MAX_FUSED_SEQ
+    if frozen and fits and supports(num_heads, w.shape[1] // 3 // num_heads):
+        interpret_ = interpret or jax.default_backend() != "tpu"
+        dx = _ln_qkv_bwd_frozen(
+            x, g, ln_scale, ln_bias, w, bias, num_heads, kv_len, sm_scale,
+            eps, 1 if x.dtype == jnp.float32 else max(1, block_b // 2),
+            interpret_,
+        )
+        # Zeros are exact here: `frozen` is only set when the caller
+        # stop_gradients these params, so their cotangents are discarded.
+        return (
+            dx,
+            jnp.zeros_like(ln_scale),
+            jnp.zeros_like(ln_bias),
+            jnp.zeros_like(w),
+            jnp.zeros_like(bias),
+        )
+    if not fits or not supports(num_heads, w.shape[1] // 3 // num_heads):
         ones = jnp.ones((3 * x.shape[-1],), jnp.float32)
         _, vjp = jax.vjp(
             lambda xx, gs, gb, ww, bb: _ln_qkv_reference(
@@ -722,7 +851,10 @@ def fused_ln_qkv_attention_int8(
     wf = w.astype(jnp.float32)
     s_col = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-8)  # (3D,)
     w_q = jnp.clip(jnp.round(wf / s_col), -127, 127).astype(jnp.int8)
-    if not supports(num_heads, w.shape[1] // 3 // num_heads):
+    if (
+        not supports(num_heads, w.shape[1] // 3 // num_heads)
+        or _round_up(x.shape[1], 128) > MAX_FUSED_SEQ
+    ):
         return _ln_qkv_reference(
             x, ln_scale, ln_bias, wf, jnp.ones_like(s_col),
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,

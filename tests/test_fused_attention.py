@@ -500,3 +500,107 @@ def test_fused_trunk_pod_sharded_sliding_window():
     )
     assert out.shape == (12, 18)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_ln_qkv_frozen_backward_matches_reference():
+    """frozen=True routes the backward through the single fused Pallas
+    kernel (_ln_qkv_bwd_frozen): dx must match the reference recompute,
+    and the param cotangents must come back exactly zero (correct because
+    the caller stop_gradients the frozen subtree)."""
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+    )
+
+    b, l, h, d = 2, 64, 8, 512
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=5)
+    sm = (d // h) ** -0.5
+    ones = jnp.ones((3 * d,), jnp.float32)
+
+    got = jax.grad(
+        lambda xx, gg, bb, ww, bi: fused_ln_qkv_attention(
+            xx, gg, bb, ww, bi, h, l, sm, 1e-5, 2, True, True
+        ).sum(),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, g, be, w, bias)
+    want_dx = jax.grad(
+        lambda xx: _ln_qkv_reference(
+            xx, g, be, w, ones, bias, h, l, sm, 1e-5
+        ).sum()
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want_dx), rtol=1e-4, atol=1e-4
+    )
+    for t in got[1:]:
+        assert float(jnp.abs(t).max()) == 0.0
+
+
+def test_fused_ln_qkv_frozen_backward_padded_kv():
+    """Padded rows (kv_len < L) must receive zero gradient contribution
+    from their key role, matching the reference VJP on the real rows."""
+    from clip_ebc_tpu.ops.fused_attention import (
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+    )
+
+    b, l, kv, h, d = 1, 128, 100, 8, 512
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=6)
+    sm = (d // h) ** -0.5
+    ones = jnp.ones((3 * d,), jnp.float32)
+
+    def loss_fused(xx):
+        out = fused_ln_qkv_attention(xx, g, be, w, bias, h, kv, sm, 1e-5, 2, True, True)
+        return (out[:, :kv] ** 2).sum()
+
+    def loss_ref(xx):
+        out = _ln_qkv_reference(xx, g, be, w, ones, bias, h, kv, sm, 1e-5)
+        return (out[:, :kv] ** 2).sum()
+
+    got = jax.grad(loss_fused)(x)
+    want = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :kv]), np.asarray(want[:, :kv]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_ln_qkv_long_seq_falls_back():
+    """Padded sequences longer than MAX_FUSED_SEQ must route to the
+    reference path (the whole-sequence VMEM kernel would ask for >16 MB —
+    the full-image eval crash at L=1664), with gradients intact."""
+    from clip_ebc_tpu.ops.fused_attention import (
+        MAX_FUSED_SEQ,
+        _ln_qkv_reference,
+        fused_ln_qkv_attention,
+        fused_qkv_attention,
+    )
+
+    b, l, h, d = 1, MAX_FUSED_SEQ + 128, 8, 512
+    x, g, be, w, bias = _lnqkv_inputs(b, l, d, seed=9)
+    sm = (d // h) ** -0.5
+    ones = jnp.ones((3 * d,), jnp.float32)
+
+    out = fused_ln_qkv_attention(x, g, be, w, bias, h, l, sm)
+    want = _ln_qkv_reference(x, g, be, w, ones, bias, h, l, sm, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # frozen=True long-seq backward also falls back (no Pallas kernel)
+    dx = jax.grad(
+        lambda xx: fused_ln_qkv_attention(
+            xx, g, be, w, bias, h, l, sm, 1e-5, 2, True, True
+        ).sum()
+    )(x)
+    dx_ref = jax.grad(
+        lambda xx: _ln_qkv_reference(xx, g, be, w, ones, bias, h, l, sm, 1e-5).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-4)
+
+    # plain fused_qkv_attention long-seq fallback
+    rng = np.random.default_rng(10)
+    qkv = jnp.asarray(rng.normal(size=(1, l, 3 * d)), jnp.float32)
+    from clip_ebc_tpu.ops.fused_attention import _reference
+
+    np.testing.assert_allclose(
+        np.asarray(fused_qkv_attention(qkv, h, l, sm)),
+        np.asarray(_reference(qkv, h, l, sm)),
+        rtol=1e-5, atol=1e-5,
+    )
