@@ -98,6 +98,20 @@ def main():
           " floor, and zero dispatch — the\nbar sits essentially AT the"
           " absolute speed of light for that path.")
 
+    # ---- training-side speed of light (bf16) ----------------------------
+    # FLOP bills per crop from BASELINE.md's derivation (XLA cost_analysis
+    # of the compiled fwd+bwd train step, batch-amortized).
+    print()
+    print("train (bf16, dmcount):")
+    print(f"{'config':<34}{'SoL crops/s':>12}{'measured':>10}{'% SoL':>8}")
+    for name, gflop, measured in (
+        ("clip_vit_b_16 VPT-32 224^2 step", 134.6, 853.8),
+        ("vgg19_ae 448^2 step", 489.4, 229.5),
+    ):
+        sol = V5E_BF16 / (gflop * 1e9)
+        print(f"{name:<34}{sol:>12.0f}{measured:>10.1f}{100*measured/sol:>7.1f}%")
+    print("(measured = BENCH r3 session-2, min-of-3; STATUS.md)")
+
 
 if __name__ == "__main__":
     main()
