@@ -35,6 +35,13 @@ def main() -> None:
     p.add_argument("--warmup_epochs", type=int, default=5)
     p.add_argument("--eval_freq", type=int, default=5)
     p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument(
+        "--sliding_window", action="store_true",
+        help="evaluate with window=stride=input_size, the reference's own "
+        "protocol for the CLIP models (reference run.sh:25: 224/224). "
+        "Full-image eval puts a from-scratch model's interpolated "
+        "positional embeddings out of distribution.",
+    )
     p.add_argument("--out", type=str, default="/tmp/convergence.json")
     args = p.parse_args()
 
@@ -84,7 +91,13 @@ def main() -> None:
     loader = TrainLoader(train_ds, batch_size=cfg.batch_size,
                          reduction=cfg.reduction, seed=0, num_threads=4)
     state = trainer.init_state(jax.random.PRNGKey(0), next(iter(loader)))
-    ev = Evaluator(model, reduction=cfg.reduction)
+    if args.sliding_window:
+        ev = Evaluator(
+            model, reduction=cfg.reduction, sliding_window=True,
+            window_size=args.input_size, stride=args.input_size,
+        )
+    else:
+        ev = Evaluator(model, reduction=cfg.reduction)
 
     def val_scores(st):
         variables = {"params": st.params}
@@ -93,11 +106,13 @@ def main() -> None:
         return evaluate(ev, variables, val_ds)
 
     curve = {"epochs": [], "loss": [], "val_mae": [], "val_rmse": [],
+             "components": [],
              "config": {k: str(v) for k, v in vars(args).items()}}
     s0 = val_scores(state)
     print(f"untrained: val MAE {s0['mae']:.2f} RMSE {s0['rmse']:.2f}")
     curve["epochs"].append(0)
     curve["loss"].append(None)
+    curve["components"].append(None)
     curve["val_mae"].append(s0["mae"])
     curve["val_rmse"].append(s0["rmse"])
 
@@ -106,13 +121,17 @@ def main() -> None:
         state, info = trainer.train_epoch(state, loader, epoch)
         if epoch % args.eval_freq == 0 or epoch == args.epochs:
             s = val_scores(state)
+            comps = {k: float(v) for k, v in info.items()}
             print(
                 f"epoch {epoch}/{args.epochs} ({time.time()-t0:.0f}s): "
-                f"loss={info['loss']:.3f} val MAE {s['mae']:.2f} "
-                f"RMSE {s['rmse']:.2f}"
+                f"loss={info['loss']:.3f} "
+                + " ".join(f"{k}={v:.3f}" for k, v in sorted(comps.items())
+                           if k not in ("loss", "lr"))
+                + f" val MAE {s['mae']:.2f} RMSE {s['rmse']:.2f}"
             )
             curve["epochs"].append(epoch)
             curve["loss"].append(info["loss"])
+            curve["components"].append(comps)
             curve["val_mae"].append(s["mae"])
             curve["val_rmse"].append(s["rmse"])
             with open(args.out, "w") as f:
