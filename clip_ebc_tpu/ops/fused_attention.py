@@ -670,8 +670,14 @@ def _lqa_bwd(
 ):
     x, ln_scale, ln_bias, w, bias = res
     fits = _round_up(x.shape[1], 128) <= MAX_FUSED_SEQ
+    interpret_ = interpret or jax.default_backend() != "tpu"
+    # fp32 on a real chip: the kernel's working set (x/g/dx + W + qkv and
+    # d_qkv scratch + score tiles, all doubled) exceeds the ~16 MB VMEM
+    # budget even at block_b=1 — take the split path instead. Interpret
+    # mode (tests/CPU) has no such limit.
+    if frozen and x.dtype == jnp.float32 and not interpret_:
+        frozen = False
     if frozen and fits and supports(num_heads, w.shape[1] // 3 // num_heads):
-        interpret_ = interpret or jax.default_backend() != "tpu"
         dx = _ln_qkv_bwd_frozen(
             x, g, ln_scale, ln_bias, w, bias, num_heads, kv_len, sm_scale,
             eps, 1 if x.dtype == jnp.float32 else max(1, block_b // 2),
@@ -710,7 +716,6 @@ def _lqa_bwd(
         return (qkv + bb.astype(jnp.float32)).astype(xx.dtype)
 
     qkv, vjp = jax.vjp(ln_proj, x, ln_scale, ln_bias, w, bias)
-    interpret_ = interpret or jax.default_backend() != "tpu"
     bb_ = 1 if x.dtype == jnp.float32 else max(1, block_b)
     d_qkv = _attention_bwd(
         qkv, g, num_heads, kv_len, sm_scale, bb_, interpret_
