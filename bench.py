@@ -232,7 +232,9 @@ def main() -> None:
         float(pipeline(variables, image, jnp.asarray(float(i + 1))))
 
     iters = int(os.environ.get("BENCH_ITERS", "12"))
-    seq = iter(range(10, 10_000))
+    import itertools
+
+    seq = itertools.count(10)  # unbounded: never exhausts across repeats
 
     def run_once():
         t0 = time.perf_counter()

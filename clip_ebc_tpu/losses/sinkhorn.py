@@ -37,6 +37,60 @@ class SinkhornResult(NamedTuple):
     iters: jnp.ndarray  # iterations executed
 
 
+def _masked_u0(a_mask, na):
+    """u starts at 1/n over the *valid* rows, matching the reference's
+    per-image init where na is the true point count
+    (reference bregman_pytorch.py:88). The duals are gauge-dependent on
+    this choice even though the plan and the OT gradient are not."""
+    if a_mask is None:
+        return jnp.full((na,), 1.0 / na, jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(a_mask.astype(jnp.float32)), 1.0)
+    return jnp.where(a_mask, 1.0 / n_valid, 0.0).astype(jnp.float32)
+
+
+def _scaling_loop(a, b, KT_u, K_v, u0, v0, max_iters, stop_thr, eval_freq):
+    """The shared Sinkhorn-Knopp scaling iteration: plain (non-log) scaling
+    with M_EPS division guards, NaN/Inf bail-out restoring the previous
+    iterates, and the source-marginal convergence check every ``eval_freq``
+    iterations (reference bregman_pytorch.py:102-144). The kernel enters
+    only through the two matvec closures ``KT_u``/``K_v``, so the dense and
+    factored solvers run provably identical iterations; ``v``/``b`` may be
+    any shape (the separable solver keeps them 2-D)."""
+
+    def cond(state):
+        u, v, err, it, done = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def body(state):
+        u, v, err, it, done = state
+        v_new = b / (KT_u(u) + M_EPS)
+        u_new = a / (K_v(v_new) + M_EPS)
+
+        bad = jnp.logical_not(
+            jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(v_new))
+        )
+        # On numerical failure keep the previous iterates and stop
+        # (reference bregman_pytorch.py:111-115).
+        u_next = jnp.where(bad, u, u_new)
+        v_next = jnp.where(bad, v, v_new)
+
+        it_next = it + 1
+        check = jnp.logical_and(it_next % eval_freq == 0, jnp.logical_not(bad))
+
+        def marginal_err(_):
+            b_hat = KT_u(u_next) * v_next
+            return jnp.sum((b - b_hat) ** 2)
+
+        err_next = jax.lax.cond(check, marginal_err, lambda _: err, None)
+        done_next = jnp.logical_or(bad, err_next <= stop_thr)
+        return u_next, v_next, err_next, it_next, done_next
+
+    err0 = jnp.asarray(jnp.inf, jnp.float32)
+    return jax.lax.while_loop(
+        cond, body, (u0, v0, err0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    )
+
+
 def sinkhorn(
     a: jnp.ndarray,
     b: jnp.ndarray,
@@ -64,50 +118,11 @@ def sinkhorn(
         K = jnp.where(a_mask[:, None], K, 0.0)
         a = jnp.where(a_mask, a, 0.0)
 
-    # u starts at 1/n over the *valid* rows, matching the reference's
-    # per-image init where na is the true point count
-    # (reference bregman_pytorch.py:88). The duals are gauge-dependent on
-    # this choice even though the plan and the OT gradient are not.
-    if a_mask is not None:
-        n_valid = jnp.maximum(jnp.sum(a_mask.astype(jnp.float32)), 1.0)
-        u0 = jnp.where(a_mask, 1.0 / n_valid, 0.0).astype(jnp.float32)
-    else:
-        u0 = jnp.full((na,), 1.0 / na, jnp.float32)
+    u0 = _masked_u0(a_mask, na)
     v0 = jnp.full((nb,), 1.0 / nb, jnp.float32)
-
-    def cond(state):
-        u, v, err, it, done = state
-        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
-
-    def body(state):
-        u, v, err, it, done = state
-        KTu = u @ K  # (nb,)
-        v_new = b / (KTu + M_EPS)
-        Kv = K @ v_new  # (na,)
-        u_new = a / (Kv + M_EPS)
-
-        bad = jnp.logical_not(
-            jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(v_new))
-        )
-        # On numerical failure keep the previous iterates and stop
-        # (reference bregman_pytorch.py:111-115).
-        u_next = jnp.where(bad, u, u_new)
-        v_next = jnp.where(bad, v, v_new)
-
-        it_next = it + 1
-        check = jnp.logical_and(it_next % eval_freq == 0, jnp.logical_not(bad))
-
-        def marginal_err(_):
-            b_hat = (u_next @ K) * v_next
-            return jnp.sum((b - b_hat) ** 2)
-
-        err_next = jax.lax.cond(check, marginal_err, lambda _: err, None)
-        done_next = jnp.logical_or(bad, err_next <= stop_thr)
-        return u_next, v_next, err_next, it_next, done_next
-
-    err0 = jnp.asarray(jnp.inf, jnp.float32)
-    u, v, err, iters, _ = jax.lax.while_loop(
-        cond, body, (u0, v0, err0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    u, v, err, iters, _ = _scaling_loop(
+        a, b, lambda u_: u_ @ K, lambda v_: K @ v_, u0, v0,
+        max_iters, stop_thr, eval_freq,
     )
 
     alpha = reg * jnp.log(u + M_EPS)
@@ -165,10 +180,8 @@ def sinkhorn_separable(
     if a_mask is not None:
         ky = jnp.where(a_mask[:, None], ky, 0.0)
         a = jnp.where(a_mask, a, 0.0)
-        n_valid = jnp.maximum(jnp.sum(a_mask.astype(jnp.float32)), 1.0)
-        u0 = jnp.where(a_mask, 1.0 / n_valid, 0.0).astype(jnp.float32)
-    else:
-        u0 = jnp.full((na,), 1.0 / na, jnp.float32)
+
+    u0 = _masked_u0(a_mask, na)
     v0 = jnp.full((h, w), 1.0 / (h * w), jnp.float32)
 
     def KT_u(u):  # (na,) -> (H, W)
@@ -177,35 +190,8 @@ def sinkhorn_separable(
     def K_v(v2):  # (H, W) -> (na,)
         return jnp.sum(ky * (kx @ v2.T), axis=1)
 
-    def cond(state):
-        u, v, err, it, done = state
-        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
-
-    def body(state):
-        u, v, err, it, done = state
-        v_new = b2 / (KT_u(u) + M_EPS)
-        u_new = a / (K_v(v_new) + M_EPS)
-
-        bad = jnp.logical_not(
-            jnp.all(jnp.isfinite(u_new)) & jnp.all(jnp.isfinite(v_new))
-        )
-        u_next = jnp.where(bad, u, u_new)
-        v_next = jnp.where(bad, v, v_new)
-
-        it_next = it + 1
-        check = jnp.logical_and(it_next % eval_freq == 0, jnp.logical_not(bad))
-
-        def marginal_err(_):
-            b_hat = KT_u(u_next) * v_next
-            return jnp.sum((b2 - b_hat) ** 2)
-
-        err_next = jax.lax.cond(check, marginal_err, lambda _: err, None)
-        done_next = jnp.logical_or(bad, err_next <= stop_thr)
-        return u_next, v_next, err_next, it_next, done_next
-
-    err0 = jnp.asarray(jnp.inf, jnp.float32)
-    u, v2, err, iters, _ = jax.lax.while_loop(
-        cond, body, (u0, v0, err0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    u, v2, err, iters, _ = _scaling_loop(
+        a, b2, KT_u, K_v, u0, v0, max_iters, stop_thr, eval_freq
     )
     v = v2.reshape(h * w)
 

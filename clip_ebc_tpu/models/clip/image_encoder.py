@@ -54,6 +54,11 @@ class ClipViT(nn.Module):
     variant: str = "vit_b_16"
     input_size: int = 224
     num_vpt: int = 0  # 0 disables VPT
+    # The trunk params (LN/projections) are frozen by the surrounding
+    # training setup — set ONLY when an optimizer mask / stop_gradient
+    # actually freezes them (build_clip_ebc passes freeze_image_encoder);
+    # enables the dx-only fused attention backward.
+    trunk_frozen: bool = False
     deep_vpt: bool = True
     vpt_drop: float = 0.0
     dtype: Any = jnp.float32
@@ -167,11 +172,11 @@ class ClipViT(nn.Module):
                 quant_int8=self.quant_int8,
                 quant_mode=self.quant_mode,
                 quant_attn=self.quant_attn,
-                # Under VPT the whole trunk is frozen (model.py
-                # _vpt_frozen_predicate freezes all of image_encoder except
-                # the prompts), so the fused attention backward can skip
-                # the LN/projection param cotangents entirely.
-                trunk_frozen=use_vpt,
+                # Set from the model's actual freeze configuration
+                # (ClipEBC.freeze_image_encoder), NOT inferred from VPT —
+                # the zero param-cotangents the fused backward returns are
+                # only correct when the caller really freezes the trunk.
+                trunk_frozen=self.trunk_frozen,
                 name=f"resblock_{i}",
             )
             if use_vpt and self.deep_vpt and i > 0:

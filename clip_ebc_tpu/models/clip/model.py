@@ -126,6 +126,7 @@ class ClipEBC(nn.Module):
                 variant=self.backbone,
                 input_size=self.input_size,
                 num_vpt=self.num_vpt,
+                trunk_frozen=self.freeze_image_encoder,
                 deep_vpt=self.deep_vpt,
                 vpt_drop=self.vpt_drop,
                 dtype=self.dtype,

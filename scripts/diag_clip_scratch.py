@@ -46,7 +46,7 @@ ref.text_prompts = torch.as_tensor(np.asarray(toks))
 ref._extract_text_features()
 
 rng = np.random.default_rng(31)
-# crowd-like batch: 30-60 points per 224^2 crop
+# crowd-like batch: 1-31 points per 224^2 crop (_make_batch p_max=64)
 t_batch, batch = _make_batch(rng, b, input_size, reduction, p_max=64)
 
 model = get_model("clip_resnet50", input_size, reduction, bins=BINS, anchor_points=ANCHORS)
@@ -77,7 +77,6 @@ for i in range(steps):
         print(f"step {i:3d} loss {float(loss):9.3f} pred counts {np.round(counts,1)}")
 
 # ---- ours ----
-from test_train_parity import _flax_train_steps
 from clip_ebc_tpu.training.optim import make_optimizer
 from clip_ebc_tpu.training.state import TrainState
 from clip_ebc_tpu.training.trainer import make_train_step
