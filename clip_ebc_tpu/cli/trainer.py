@@ -81,7 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_freq", type=int, default=5)
     p.add_argument("--save_best_k", type=int, default=3)
     p.add_argument("--amp", action="store_true", help="bf16 compute (TPU AMP)")
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="loader prefetch threads (decode/aug overlap)")
+    p.add_argument("--loader_procs", type=int, default=0,
+                   help="loader WORKER PROCESSES (torch DataLoader analog; "
+                        "the numpy aug pipeline is GIL-bound, so threads "
+                        "cannot use more than ~1 core — set to ~cores/2 on "
+                        "real TPU-VM hosts to feed the chip)")
     p.add_argument("--seed", type=int, default=42)
     # TPU / paths
     p.add_argument("--pretrained", type=str, default=None,
@@ -178,6 +184,7 @@ def main(argv=None) -> None:
         max_points=args.max_points,
         seed=cfg.seed,
         num_threads=cfg.num_workers,
+        num_workers=args.loader_procs,
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
     )

@@ -11,8 +11,11 @@ TPU-first differences from the reference's torch DataLoader stack
 - Per-host sharding: each host enumerates only its slice of the epoch
   permutation (replaces torch DistributedSampler at reference
   utils/data_utils.py:47).
-- Prefetching uses a thread pool (PIL decode + numpy transforms release
-  the GIL for the heavy parts).
+- Prefetching uses a thread pool by default; ``num_workers > 0`` switches
+  to a persistent process pool (spawn), the analog of torch DataLoader
+  workers — the numpy augmentation pipeline holds the GIL for most of its
+  time (measured: thread count has NO effect on host crops/s), so real
+  training runs need processes to feed the chip.
 """
 
 from __future__ import annotations
@@ -112,6 +115,22 @@ def make_eval_transforms(cfg):
     return None
 
 
+def _pool_init(pickled_dataset):
+    """Process-pool initializer: unpickle the dataset once per worker."""
+    global _POOL_DATASET
+    import pickle
+
+    _POOL_DATASET = pickle.loads(pickled_dataset)
+
+
+def _pool_load(args):
+    """Load one item in a worker process (index + pre-drawn seed so the
+    result is independent of worker scheduling, same as the thread path)."""
+    i, ds_index, seed = args
+    rng = np.random.default_rng(seed)
+    return i, _POOL_DATASET.__getitem__(int(ds_index), rng=rng)
+
+
 class TrainLoader:
     """Shuffled, per-host-sharded, prefetching train loader.
 
@@ -121,6 +140,12 @@ class TrainLoader:
     is pre-pooled to reduction blocks on the host — the loss only ever
     consumes the block-summed map, so shipping the full-resolution dot map
     to the device would waste HBM bandwidth.
+
+    ``num_workers > 0`` runs item loading in a persistent spawn-based
+    process pool (the torch-DataLoader-workers analog, reference
+    utils/data_utils.py:47): the augmentation pipeline is GIL-bound, so
+    threads alone cannot feed a chip. Identical batches either way (seeds
+    are pre-drawn per item).
     """
 
     def __init__(
@@ -134,6 +159,7 @@ class TrainLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         drop_last: bool = True,
+        num_workers: int = 0,
     ) -> None:
         if batch_size % max(dataset.num_crops, 1):
             raise ValueError(
@@ -150,6 +176,8 @@ class TrainLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self._pool = None  # lazily-created persistent process pool
         self.epoch = 0
         # OT point-pad truncation accounting (KNOWN_DIFFERENCES #4): the
         # reference's OT consumes every GT point (reference dm_loss.py:48);
@@ -175,6 +203,51 @@ class TrainLoader:
         usable = (len(perm) // self.num_hosts) * self.num_hosts
         return perm[:usable][self.host_id :: self.num_hosts]
 
+    def _get_pool(self):
+        if self._pool is None:
+            import concurrent.futures
+            import multiprocessing as mp
+            import pickle
+
+            self._pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),  # no forked TPU/JAX state
+                initializer=_pool_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        """Shut down the worker pool (no-op in thread mode)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def _iter_process_pool(self, indices, item_seeds, n_items) -> Iterator[Batch]:
+        pool = self._get_pool()
+        futures = [
+            pool.submit(_pool_load, (i, int(indices[i]), int(item_seeds[i])))
+            for i in range(n_items)
+        ]
+        ready: dict[int, object] = {}
+        nxt = 0
+        n_batches = len(self)
+        import concurrent.futures as cf
+
+        pending = set(futures)
+        for b in range(n_batches):
+            items = []
+            hi = min((b + 1) * self.items_per_batch, n_items)
+            while nxt < hi:
+                while nxt not in ready:
+                    done, pending = cf.wait(pending, return_when=cf.FIRST_COMPLETED)
+                    for f in done:
+                        i, item = f.result()  # raises worker exceptions here
+                        ready[i] = item
+                items.append(ready.pop(nxt))
+                nxt += 1
+            yield self._collate(items)
+
     def __iter__(self) -> Iterator[Batch]:
         indices = self._epoch_indices()
         item_rng = np.random.default_rng(
@@ -183,6 +256,11 @@ class TrainLoader:
         # Pre-draw one child seed per item so results don't depend on
         # thread scheduling.
         item_seeds = item_rng.integers(0, 2**63 - 1, size=len(indices))
+
+        n_items_total = min(len(self) * self.items_per_batch, len(indices))
+        if self.num_workers > 0 and n_items_total > 0:
+            yield from self._iter_process_pool(indices, item_seeds, n_items_total)
+            return
 
         def load(i: int):
             rng = np.random.default_rng(item_seeds[i])

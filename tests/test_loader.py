@@ -169,3 +169,42 @@ def test_ot_point_truncation_warns_and_counts(caplog):
         n_after = len([r for r in caplog.records if "truncation" in r.message])
     assert n_after == n_before
     assert loader.dropped_points == 6
+
+
+def test_process_pool_matches_thread_mode(tmp_path):
+    """num_workers>0 (spawn process pool) must yield bit-identical batches
+    to the thread path — seeds are pre-drawn per item, so parallelism mode
+    cannot change the data."""
+    import numpy as np
+    from PIL import Image
+
+    from clip_ebc_tpu.data.crowd import CrowdDataset
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    root = tmp_path / "ds"
+    (root / "shb" / "train" / "images").mkdir(parents=True)
+    (root / "shb" / "train" / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(1, 5):
+        Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8), "RGB"
+        ).save(root / "shb" / "train" / "images" / f"{i}.jpg")
+        np.save(
+            root / "shb" / "train" / "labels" / f"{i}.npy",
+            rng.uniform(0, [128, 96], size=(5, 2)).astype(np.float32),
+        )
+
+    ds = CrowdDataset("shb", "train", data_root=str(root), num_crops=1,
+                      check_sizes=False)
+    lt = TrainLoader(ds, batch_size=2, reduction=8, seed=0, num_threads=2)
+    lp = TrainLoader(ds, batch_size=2, reduction=8, seed=0, num_workers=2)
+    lt.set_epoch(1)
+    lp.set_epoch(1)
+    try:
+        for bt, bp in zip(lt, lp):
+            np.testing.assert_array_equal(bt.images, bp.images)
+            np.testing.assert_array_equal(bt.points, bp.points)
+            np.testing.assert_array_equal(bt.point_mask, bp.point_mask)
+            np.testing.assert_array_equal(bt.density, bp.density)
+    finally:
+        lp.close()
