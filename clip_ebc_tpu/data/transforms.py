@@ -243,6 +243,33 @@ def _check_window_stride(window_size: Tuple[int, int], stride: Tuple[int, int]) 
         raise ValueError(f"stride {stride} must be <= window_size {window_size}")
 
 
+def _upscale_window(
+    image: Array, rh: int, rw: int, top: int, left: int, ch: int, cw: int
+) -> Array:
+    """``_resize_image(image, rh, rw)[top:top+ch, left:left+cw]`` for the
+    pure-upscale case (rh >= ih, rw >= iw), computing ONLY the cropped
+    output region: the taps are those of the full (rh, rw) grid sliced to
+    the window, so every produced pixel is bitwise the full-resize value
+    while the work drops by the crop ratio (the scale-jitter aug crops
+    right after upscaling — the rest of the upscaled image is waste)."""
+    out = image.astype(np.float32)
+    for axis, (in_size, out_size, lo, n) in enumerate(
+        ((image.shape[0], rh, top, ch), (image.shape[1], rw, left, cw))
+    ):
+        idx, wt = _torch_cubic_taps(in_size, out_size)
+        idx, wt = idx[lo : lo + n], wt[lo : lo + n]
+        if axis == 0:
+            acc = wt[:, 0, None, None] * out[idx[:, 0]]
+            for t in range(1, 4):
+                acc += wt[:, t, None, None] * out[idx[:, t]]
+        else:
+            acc = wt[None, :, 0, None] * out[:, idx[:, 0]]
+            for t in range(1, 4):
+                acc += wt[None, :, t, None] * out[:, idx[:, t]]
+        out = acc.astype(np.float32)
+    return out
+
+
 class RandomResizedCrop:
     """Scale-jittered crop: crop size = out_size * U(scale), resize-then-crop
     when the scaled crop exceeds the image (reference
@@ -262,13 +289,29 @@ class RandomResizedCrop:
         if ch <= ih and cw <= iw:
             top = int(rng.integers(0, ih - ch + 1))
             left = int(rng.integers(0, iw - cw + 1))
+            image, label = crop(image, label, top, left, ch, cw)
         else:
             ratio = max(ch / ih, cw / iw)
             rh, rw = int(ih * ratio) + 1, int(iw * ratio) + 1
-            image, label = resize(image, label, rh, rw)
             top = int(rng.integers(0, rh - ch + 1))
             left = int(rng.integers(0, rw - cw + 1))
-        image, label = crop(image, label, top, left, ch, cw)
+            # Windowed upscale: same values as resize(rh, rw) then crop —
+            # the point math goes through the SAME resize()/crop() label
+            # code on a size-only stub so the semantics stay in one place.
+            _, label = resize(
+                np.empty((ih, iw, 0), np.float32), label, rh, rw
+            )
+            label = _as_points(label)
+            if len(label) > 0:
+                label = label - np.array([left, top], dtype=np.float32)
+                keep = (
+                    (label[:, 0] >= 0)
+                    & (label[:, 0] < cw)
+                    & (label[:, 1] >= 0)
+                    & (label[:, 1] < ch)
+                )
+                label = label[keep]
+            image = _upscale_window(image, rh, rw, top, left, ch, cw)
         return resize(image, label, oh, ow)
 
 

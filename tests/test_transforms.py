@@ -229,3 +229,41 @@ def test_resize_mixed_axes(rng):
     inter = T._resize_image(img, 64, 50)
     other = T._resize_image(inter, 128, 50)
     assert np.abs(out - other).max() < 0.75
+
+
+def test_random_resized_crop_windowed_upscale_exact():
+    """The windowed upscale inside RandomResizedCrop must equal the full
+    resize-then-crop composition bit for bit (same taps, sliced)."""
+    from clip_ebc_tpu.data.transforms import (
+        RandomResizedCrop,
+        _resize_image,
+        _upscale_window,
+        crop,
+        resize,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.random((96, 128, 3)).astype(np.float32)
+    rh, rw, top, left, ch, cw = 160, 208, 17, 33, 112, 112
+    want = _resize_image(img, rh, rw)[top : top + ch, left : left + cw]
+    got = _upscale_window(img, rh, rw, top, left, ch, cw)
+    np.testing.assert_array_equal(got, want)
+
+    # end-to-end: the transform equals the reference composition with the
+    # same rng draw sequence (s, top, left)
+    pts = rng.uniform(0, [128, 96], size=(13, 2)).astype(np.float32)
+    t = RandomResizedCrop((64, 64), scale=(1.3, 1.9))
+    out_img, out_pts = t(img, pts.copy(), np.random.default_rng(5))
+
+    r = np.random.default_rng(5)
+    s = float(r.uniform(1.3, 1.9))
+    chh, cww = int(64 * s), int(64 * s)
+    ratio = max(chh / 96, cww / 128)
+    rh2, rw2 = int(96 * ratio) + 1, int(128 * ratio) + 1
+    im2, pts2 = resize(img, pts.copy(), rh2, rw2)
+    top2 = int(r.integers(0, rh2 - chh + 1))
+    left2 = int(r.integers(0, rw2 - cww + 1))
+    im2, pts2 = crop(im2, pts2, top2, left2, chh, cww)
+    want_img, want_pts = resize(im2, pts2, 64, 64)
+    np.testing.assert_allclose(out_img, want_img, atol=1e-6)
+    np.testing.assert_allclose(out_pts, want_pts, atol=1e-5)
