@@ -86,16 +86,28 @@ def _torch_cubic_taps(in_size: int, out_size: int, a: float = -0.75):
 
 def _pil_resize_axis(image: Array, axis: int, out_size: int) -> Array:
     """Antialiased bicubic resize of ONE axis via PIL (the other axis is
-    identity: PIL's scale-1 bicubic weights are exactly [0, 1, 0, 0])."""
+    identity: PIL's scale-1 bicubic weights are exactly [0, 1, 0, 0]).
+
+    All channels go through ONE single-channel ("F") PIL call by packing
+    them along the axis that is not being resized — per-row/column math is
+    independent along that axis, so the values are identical to the
+    per-channel loop at a third of the PIL/tobytes overhead."""
     from PIL import Image
 
-    ih, iw = image.shape[:2]
-    size = (iw, out_size) if axis == 0 else (out_size, ih)  # PIL is (w, h)
-    chans = []
-    for c in range(image.shape[2]):
-        im = Image.fromarray(image[:, :, c], mode="F")
-        chans.append(np.asarray(im.resize(size, Image.BICUBIC)))
-    return np.stack(chans, axis=-1).astype(np.float32)
+    ih, iw, c = image.shape
+    if axis == 0:
+        # resize H; pack channels into the W axis: (H, W*C), C-minor
+        packed = np.ascontiguousarray(image).reshape(ih, iw * c)
+        im = Image.fromarray(packed, mode="F")
+        out = np.asarray(im.resize((iw * c, out_size), Image.BICUBIC))
+        return out.reshape(out_size, iw, c).astype(np.float32)
+    # resize W; pack channels into the H axis: (C*H, W)
+    packed = np.ascontiguousarray(image.transpose(2, 0, 1)).reshape(c * ih, iw)
+    im = Image.fromarray(packed, mode="F")
+    out = np.asarray(im.resize((out_size, c * ih), Image.BICUBIC))
+    return np.ascontiguousarray(
+        out.reshape(c, ih, out_size).transpose(1, 2, 0)
+    ).astype(np.float32)
 
 
 def _resize_image(image: Array, height: int, width: int) -> Array:
