@@ -32,6 +32,7 @@ _STD = np.asarray(IMAGENET_STD, np.float32)
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def ensure_built(force: bool = False) -> bool:
@@ -61,10 +62,41 @@ def ensure_built(force: bool = False) -> bool:
     lib.block_sum.argtypes = [_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f32p]
     lib.pad_points.argtypes = [_f32p, _i64p, ctypes.c_int64, ctypes.c_int64, _f32p, _u8p]
     lib.pepper_salt.argtypes = [_f32p, _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
+    lib.bicubic_upscale_window.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i32p, _f32p, _i32p, _f32p,
+        ctypes.c_int, ctypes.c_int, _f32p,
+    ]
     lib.ebc_host_version.restype = ctypes.c_int
     _lib = lib
     HAVE_NATIVE = True
     return True
+
+
+def bicubic_upscale_window(
+    image: np.ndarray,
+    idx_y: np.ndarray, wy: np.ndarray,
+    idx_x: np.ndarray, wx: np.ndarray,
+):
+    """Fused 4x4-stencil bicubic upscale of a window (taps from
+    transforms._torch_cubic_taps, pre-sliced to the window). Returns None
+    when the native library is absent — the caller keeps its numpy path.
+    Single fused float32 accumulation per output pixel (vs the numpy
+    two-pass separable path): within ~1e-6 relative, closer to torch's
+    own one-pass upsample_bicubic2d."""
+    if _lib is None:
+        return None
+    src = np.ascontiguousarray(image, np.float32)
+    ih, iw, c = src.shape
+    ch, cw = idx_y.shape[0], idx_x.shape[0]
+    out = np.empty((ch, cw, c), np.float32)
+    _lib.bicubic_upscale_window(
+        src, ih, iw, c,
+        np.ascontiguousarray(idx_y, np.int32), np.ascontiguousarray(wy, np.float32),
+        np.ascontiguousarray(idx_x, np.int32), np.ascontiguousarray(wx, np.float32),
+        ch, cw, out,
+    )
+    return out
 
 
 def normalize_image(image: np.ndarray) -> np.ndarray:

@@ -264,12 +264,21 @@ def _upscale_window(
     the window, so every produced pixel is bitwise the full-resize value
     while the work drops by the crop ratio (the scale-jitter aug crops
     right after upscaling — the rest of the upscaled image is waste)."""
+    idx_y, wy = _torch_cubic_taps(image.shape[0], rh)
+    idx_x, wx = _torch_cubic_taps(image.shape[1], rw)
+    idx_y, wy = idx_y[top : top + ch], wy[top : top + ch]
+    idx_x, wx = idx_x[left : left + cw], wx[left : left + cw]
+    from . import native
+
+    if native.HAVE_NATIVE:
+        out = native.bicubic_upscale_window(
+            image.astype(np.float32), idx_y, wy, idx_x, wx
+        )
+        if out is not None:
+            return out
+
     out = image.astype(np.float32)
-    for axis, (in_size, out_size, lo, n) in enumerate(
-        ((image.shape[0], rh, top, ch), (image.shape[1], rw, left, cw))
-    ):
-        idx, wt = _torch_cubic_taps(in_size, out_size)
-        idx, wt = idx[lo : lo + n], wt[lo : lo + n]
+    for axis, (idx, wt) in enumerate(((idx_y, wy), (idx_x, wx))):
         if axis == 0:
             acc = wt[:, 0, None, None] * out[idx[:, 0]]
             for t in range(1, 4):

@@ -127,3 +127,43 @@ void pepper_salt(float* image, const float* noise, int64_t n,
 int ebc_host_version() { return 1; }
 
 }  // extern "C"
+
+// Fused 2-D bicubic upscale of a window: for each output pixel, the 4x4
+// tap stencil (row/col taps precomputed by the caller — the same
+// _torch_cubic_taps tables the numpy path uses) is accumulated in ONE
+// float32 pass. Replaces the numpy two-pass path's two full-size
+// intermediates + 8 gather/multiply/add sweeps with a cache-resident
+// stencil (the 4 source rows of consecutive output rows overlap).
+// C channels, HWC layout, C-minor.
+extern "C" void bicubic_upscale_window(
+    const float* src, int ih, int iw, int c,
+    const int32_t* idx_y, const float* wy,   // (ch, 4)
+    const int32_t* idx_x, const float* wx,   // (cw, 4)
+    int ch_out, int cw_out, float* dst) {
+    (void)ih;
+#pragma omp parallel for schedule(static)
+    for (int oy = 0; oy < ch_out; ++oy) {
+        const float wy0 = wy[oy * 4 + 0], wy1 = wy[oy * 4 + 1];
+        const float wy2 = wy[oy * 4 + 2], wy3 = wy[oy * 4 + 3];
+        const float* r0 = src + (int64_t)idx_y[oy * 4 + 0] * iw * c;
+        const float* r1 = src + (int64_t)idx_y[oy * 4 + 1] * iw * c;
+        const float* r2 = src + (int64_t)idx_y[oy * 4 + 2] * iw * c;
+        const float* r3 = src + (int64_t)idx_y[oy * 4 + 3] * iw * c;
+        float* out_row = dst + (int64_t)oy * cw_out * c;
+        for (int ox = 0; ox < cw_out; ++ox) {
+            const int32_t* ix = idx_x + ox * 4;
+            const float* wxp = wx + ox * 4;
+            for (int ci = 0; ci < c; ++ci) {
+                float acc = 0.0f;
+                for (int t = 0; t < 4; ++t) {
+                    const int64_t off = (int64_t)ix[t] * c + ci;
+                    const float col =
+                        wy0 * r0[off] + wy1 * r1[off] +
+                        wy2 * r2[off] + wy3 * r3[off];
+                    acc += wxp[t] * col;
+                }
+                out_row[ox * c + ci] = acc;
+            }
+        }
+    }
+}

@@ -242,12 +242,26 @@ def test_random_resized_crop_windowed_upscale_exact():
         resize,
     )
 
+    from clip_ebc_tpu.data import native
+
     rng = np.random.default_rng(11)
     img = rng.random((96, 128, 3)).astype(np.float32)
     rh, rw, top, left, ch, cw = 160, 208, 17, 33, 112, 112
     want = _resize_image(img, rh, rw)[top : top + ch, left : left + cw]
     got = _upscale_window(img, rh, rw, top, left, ch, cw)
-    np.testing.assert_array_equal(got, want)
+    if native.HAVE_NATIVE:
+        # the C++ kernel fuses both axes into one float32 accumulation
+        # (closer to torch's one-pass upsample); not bitwise vs two-pass
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        have = native.HAVE_NATIVE
+        try:
+            native.HAVE_NATIVE = False
+            got_np = _upscale_window(img, rh, rw, top, left, ch, cw)
+        finally:
+            native.HAVE_NATIVE = have
+        np.testing.assert_array_equal(got_np, want)
+    else:
+        np.testing.assert_array_equal(got, want)
 
     # end-to-end: the transform equals the reference composition with the
     # same rng draw sequence (s, top, left)
