@@ -116,10 +116,20 @@ def make_eval_transforms(cfg):
 
 
 def _pool_init(pickled_dataset):
-    """Process-pool initializer: unpickle the dataset once per worker."""
-    global _POOL_DATASET
+    """Process-pool initializer: unpickle the dataset once per worker.
+
+    Workers only run numpy/PIL/native-C++ augmentation: pin OpenMP to one
+    thread (the native resize kernel is OMP-parallel — N workers x
+    all-cores OMP would oversubscribe the host N-fold) and force any
+    incidental jax import onto the CPU backend so no TPU client is ever
+    created in a worker. The one-time spawn cost per worker is the
+    package import (~seconds), amortized over the whole run."""
+    import os
     import pickle
 
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    global _POOL_DATASET
     _POOL_DATASET = pickle.loads(pickled_dataset)
 
 
@@ -224,29 +234,56 @@ class TrainLoader:
             self._pool = None
 
     def _iter_process_pool(self, indices, item_seeds, n_items) -> Iterator[Batch]:
-        pool = self._get_pool()
-        futures = [
-            pool.submit(_pool_load, (i, int(indices[i]), int(item_seeds[i])))
-            for i in range(n_items)
-        ]
-        ready: dict[int, object] = {}
-        nxt = 0
-        n_batches = len(self)
         import concurrent.futures as cf
 
-        pending = set(futures)
-        for b in range(n_batches):
-            items = []
-            hi = min((b + 1) * self.items_per_batch, n_items)
-            while nxt < hi:
-                while nxt not in ready:
-                    done, pending = cf.wait(pending, return_when=cf.FIRST_COMPLETED)
-                    for f in done:
-                        i, item = f.result()  # raises worker exceptions here
-                        ready[i] = item
-                items.append(ready.pop(nxt))
-                nxt += 1
-            yield self._collate(items)
+        pool = self._get_pool()
+        # Bounded submission window: enough in flight to keep every worker
+        # busy plus one assembled batch, but NOT the whole epoch — completed
+        # Futures would otherwise pin every consumed item for the epoch's
+        # lifetime (tens of GB on NWPU-scale datasets), and an abandoned
+        # generator (e.g. the one-batch init_state draw) would leave a full
+        # epoch of discarded work queued in the persistent pool.
+        window = max(2 * self.items_per_batch, 4 * self.num_workers)
+        ready: dict[int, object] = {}
+        pending: set = set()
+        submitted = 0
+
+        def top_up():
+            nonlocal submitted
+            while submitted < n_items and len(pending) + len(ready) < window:
+                i = submitted
+                pending.add(
+                    pool.submit(
+                        _pool_load, (i, int(indices[i]), int(item_seeds[i]))
+                    )
+                )
+                submitted += 1
+
+        nxt = 0
+        n_batches = len(self)
+        try:
+            top_up()
+            for b in range(n_batches):
+                items = []
+                hi = min((b + 1) * self.items_per_batch, n_items)
+                while nxt < hi:
+                    while nxt not in ready:
+                        done, pending = cf.wait(
+                            pending, return_when=cf.FIRST_COMPLETED
+                        )
+                        for f in done:
+                            i, item = f.result()  # raises worker exceptions
+                            ready[i] = item
+                        top_up()
+                    items.append(ready.pop(nxt))
+                    nxt += 1
+                    top_up()
+                yield self._collate(items)
+        finally:
+            # Generator closed early (init draw, exception, profiling run):
+            # drop the in-flight window so the next epoch starts clean.
+            for f in pending:
+                f.cancel()
 
     def __iter__(self) -> Iterator[Batch]:
         indices = self._epoch_indices()

@@ -25,6 +25,7 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libebc_host.so")
 
 _lib: Optional[ctypes.CDLL] = None
 HAVE_NATIVE = False
+_HAVE_UPSCALE = False
 
 _MEAN = np.asarray(IMAGENET_MEAN, np.float32)
 _STD = np.asarray(IMAGENET_STD, np.float32)
@@ -62,11 +63,19 @@ def ensure_built(force: bool = False) -> bool:
     lib.block_sum.argtypes = [_f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f32p]
     lib.pad_points.argtypes = [_f32p, _i64p, ctypes.c_int64, ctypes.c_int64, _f32p, _u8p]
     lib.pepper_salt.argtypes = [_f32p, _f32p, ctypes.c_int64, ctypes.c_float, ctypes.c_float]
-    lib.bicubic_upscale_window.argtypes = [
-        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        _i32p, _f32p, _i32p, _f32p,
-        ctypes.c_int, ctypes.c_int, _f32p,
-    ]
+    global _HAVE_UPSCALE
+    try:
+        # added in ebc_host_version 2: a stale locally-built .so may lack
+        # it — degrade that ONE kernel to numpy instead of failing the
+        # whole package import
+        lib.bicubic_upscale_window.argtypes = [
+            _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i32p, _f32p, _i32p, _f32p,
+            ctypes.c_int, ctypes.c_int, _f32p,
+        ]
+        _HAVE_UPSCALE = True
+    except AttributeError:
+        _HAVE_UPSCALE = False
     lib.ebc_host_version.restype = ctypes.c_int
     _lib = lib
     HAVE_NATIVE = True
@@ -84,7 +93,7 @@ def bicubic_upscale_window(
     Single fused float32 accumulation per output pixel (vs the numpy
     two-pass separable path): within ~1e-6 relative, closer to torch's
     own one-pass upsample_bicubic2d."""
-    if _lib is None:
+    if _lib is None or not _HAVE_UPSCALE:
         return None
     src = np.ascontiguousarray(image, np.float32)
     ih, iw, c = src.shape

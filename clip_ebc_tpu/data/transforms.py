@@ -261,9 +261,13 @@ def _upscale_window(
     """``_resize_image(image, rh, rw)[top:top+ch, left:left+cw]`` for the
     pure-upscale case (rh >= ih, rw >= iw), computing ONLY the cropped
     output region: the taps are those of the full (rh, rw) grid sliced to
-    the window, so every produced pixel is bitwise the full-resize value
-    while the work drops by the crop ratio (the scale-jitter aug crops
-    right after upscaling — the rest of the upscaled image is waste)."""
+    the window, so the work drops by the crop ratio (the scale-jitter aug
+    crops right after upscaling — the rest of the upscaled image is
+    waste). The numpy path is BITWISE the full-resize value; the native
+    C++ kernel fuses both axes into one float32 accumulation (closer to
+    torch's one-pass upsample_bicubic2d) and agrees to ~1e-6 relative —
+    runs with and without the native library are NOT bit-reproducible
+    against each other (they are individually deterministic)."""
     idx_y, wy = _torch_cubic_taps(image.shape[0], rh)
     idx_x, wx = _torch_cubic_taps(image.shape[1], rw)
     idx_y, wy = idx_y[top : top + ch], wy[top : top + ch]
@@ -271,8 +275,10 @@ def _upscale_window(
     from . import native
 
     if native.HAVE_NATIVE:
+        # np.asarray: no copy when already float32 (the normal case);
+        # the wrapper's ascontiguousarray provides the layout guarantee
         out = native.bicubic_upscale_window(
-            image.astype(np.float32), idx_y, wy, idx_x, wx
+            np.asarray(image, np.float32), idx_y, wy, idx_x, wx
         )
         if out is not None:
             return out

@@ -124,7 +124,7 @@ void pepper_salt(float* image, const float* noise, int64_t n,
     }
 }
 
-int ebc_host_version() { return 1; }
+int ebc_host_version() { return 2; }
 
 }  // extern "C"
 
