@@ -261,7 +261,8 @@ def main(argv=None) -> None:
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            scores = evaluate(evaluator, variables, val_ds)
+            scores = evaluate(evaluator, variables, val_ds,
+                              decode_procs=args.loader_procs)
             best = ckpt.update_best(scores, epoch, variables)  # collective
             if is_host0:
                 logger.info(

@@ -189,24 +189,68 @@ class Evaluator:
         yield from drain()
 
 
-def evaluate(
-    evaluator: Evaluator,
-    variables,
-    dataset,
-    progress: bool = False,
-    prefetch: int = 2,
-) -> Dict[str, float]:
-    """Run over a labeled dataset (num_crops=1, eval transforms) and report
-    MAE/RMSE of total counts (reference eval.py:25-40).
+def _eval_pool_init(pickled_dataset):
+    """Decode-pool worker init (mirrors data/loader._pool_init)."""
+    import os
+    import pickle
 
-    Image decode + transforms for upcoming items run on a background
-    thread (``prefetch`` deep) while the device predicts the current one.
-    """
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    global _EVAL_DATASET
+    _EVAL_DATASET = pickle.loads(pickled_dataset)
+
+
+def _eval_pool_load(i):
+    images, labels, _ = _EVAL_DATASET[i]
+    return i, images[0], float(len(labels[0]))
+
+
+def _decoded_items(dataset, n, prefetch, decode_procs):
+    """Yield (image, gt_count) for items 0..n-1, decoding ahead of the
+    consumer: on a background thread by default, or across
+    ``decode_procs`` worker processes (bounded in-flight window, ordered
+    delivery) — full-image eval decode is GIL-bound numpy/PIL like the
+    train augs, so real eval runs over thousands of NWPU-scale images
+    need processes to keep the chip busy."""
+    if decode_procs > 0 and n > 0:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        import pickle
+
+        with cf.ProcessPoolExecutor(
+            max_workers=decode_procs,
+            mp_context=mp.get_context("spawn"),
+            initializer=_eval_pool_init,
+            initargs=(pickle.dumps(dataset),),
+        ) as pool:
+            window = max(prefetch, 2 * decode_procs)
+            ready: dict[int, tuple] = {}
+            pending: set = set()
+            submitted = 0
+
+            def top_up():
+                nonlocal submitted
+                while submitted < n and len(pending) + len(ready) < window:
+                    pending.add(pool.submit(_eval_pool_load, submitted))
+                    submitted += 1
+
+            top_up()
+            for nxt in range(n):
+                while nxt not in ready:
+                    done, pending = cf.wait(
+                        pending, return_when=cf.FIRST_COMPLETED
+                    )
+                    for f in done:
+                        i, image, gt = f.result()
+                        ready[i] = (image, gt)
+                    top_up()
+                yield ready.pop(nxt)
+                top_up()
+        return
+
     import queue
     import threading
 
-    acc = CountErrorAccumulator()
-    n = len(dataset)
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
 
     def producer():
@@ -218,8 +262,32 @@ def evaluate(
                 q.put(e)
                 return
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
+    threading.Thread(target=producer, daemon=True).start()
+    for _ in range(n):
+        item = q.get()
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
+def evaluate(
+    evaluator: Evaluator,
+    variables,
+    dataset,
+    progress: bool = False,
+    prefetch: int = 2,
+    decode_procs: int = 0,
+) -> Dict[str, float]:
+    """Run over a labeled dataset (num_crops=1, eval transforms) and report
+    MAE/RMSE of total counts (reference eval.py:25-40).
+
+    Image decode + transforms for upcoming items run ahead of the device:
+    a background thread by default, or ``decode_procs`` worker processes
+    (see :func:`_decoded_items`).
+    """
+    acc = CountErrorAccumulator()
+    n = len(dataset)
+    items = _decoded_items(dataset, n, prefetch, decode_procs)
 
     indices = range(n)
     if progress:
@@ -234,10 +302,7 @@ def evaluate(
     # computes i while the host decodes/uploads i+1 and fetches i-1.
     pending = None  # (device count scalar, gt)
     for _ in indices:
-        item = q.get()
-        if isinstance(item, Exception):
-            raise item
-        image, gt = item
+        image, gt = next(items)
         count = evaluator.predict_density(variables, image).sum()
         if pending is not None:
             acc.update(float(pending[0]), pending[1])

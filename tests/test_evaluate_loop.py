@@ -93,3 +93,15 @@ def test_sliding_window_pipeline_compiles_once_across_weight_updates():
     assert after == mid  # new weights / repeat eval: ZERO new compilations
     assert c_b == c_b2
     assert c_a != c_b  # and the new weights actually flow through
+
+
+def test_evaluate_decode_procs_matches(model_and_vars):
+    """decode_procs>0 (process-pool decode) must give identical metrics
+    to the in-process path — ordered delivery, same items."""
+    model, variables = model_and_vars
+    ds = _StubDataset()
+    ev = Evaluator(model, reduction=8)
+    base = evaluate(ev, variables, ds)
+    pooled = evaluate(ev, variables, ds, decode_procs=2)
+    assert pooled["mae"] == pytest.approx(base["mae"], rel=1e-6)
+    assert pooled["rmse"] == pytest.approx(base["rmse"], rel=1e-6)
