@@ -16,10 +16,119 @@ BENCH_ITERS, BENCH_MODE=train (vgg19_ae train-step throughput).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 A100_EST_IMGS_PER_SEC = 1200.0
+
+# ---------------------------------------------------------------------------
+# Relay-proof orchestrator.
+#
+# The axon TPU relay occasionally fails or hangs at backend-init time for
+# minutes (observed round 3: `jax.devices()` hung >5 min and the driver's
+# bench run died rc=1 — BENCH_r03.json). jax backend initialization happens
+# once per process and cannot be retried in-process, so the orchestrator
+# runs every attempt in a fresh subprocess with a hard timeout and bounded
+# retry-with-backoff, and ALWAYS emits one parseable JSON line — a real
+# number when any attempt lands, an explicit error record when none do.
+#
+# Env knobs: BENCH_ATTEMPTS (default 4), BENCH_PROBE_TIMEOUT (s, default
+# 300), BENCH_RUN_TIMEOUT (s per attempt, default 2400), BENCH_BACKOFF
+# (base seconds, default 15, doubled per retry). BENCH_INNER=1 bypasses
+# the orchestrator (used for its own children; also handy for debugging).
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = (
+    "import jax, sys; d = jax.devices(); "
+    "import jax.numpy as jnp; "
+    "x = jnp.ones((256, 256), jnp.float32); "
+    "v = float((x @ x).sum()); "
+    "print('PROBE_OK', d[0].platform, v)"
+)
+
+
+def _probe_backend(timeout: float) -> bool:
+    """One fresh-process backend-init + tiny-matmul probe, hard timeout."""
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        print("bench: probe timed out (relay hang)", file=sys.stderr)
+        return False
+    ok = res.returncode == 0 and "PROBE_OK" in res.stdout
+    if not ok:
+        tail = (res.stderr or res.stdout).strip().splitlines()[-3:]
+        print("bench: probe failed: " + " | ".join(tail), file=sys.stderr)
+    return ok
+
+
+def _run_inner_subprocess(timeout: float):
+    """Run this script with BENCH_INNER=1; return the parsed final JSON
+    line or None."""
+    env = dict(os.environ)
+    env["BENCH_INNER"] = "1"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        print("bench: inner run timed out", file=sys.stderr)
+        return _last_json_line(out)
+    if res.returncode != 0:
+        tail = (res.stderr or res.stdout).strip().splitlines()[-5:]
+        print("bench: inner run rc=%d: %s" % (res.returncode, " | ".join(tail)),
+              file=sys.stderr)
+    return _last_json_line(res.stdout)
+
+
+def _last_json_line(text: str):
+    for line in reversed((text or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and line.endswith("}"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "metric" in obj and "value" in obj:
+                return obj
+    return None
+
+
+def orchestrate() -> None:
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT", "2400"))
+    backoff = float(os.environ.get("BENCH_BACKOFF", "15"))
+    errors = []
+    for attempt in range(attempts):
+        if attempt:
+            delay = backoff * (2 ** (attempt - 1))
+            print(f"bench: retrying in {delay:.0f}s "
+                  f"(attempt {attempt + 1}/{attempts})", file=sys.stderr)
+            time.sleep(delay)
+        if not _probe_backend(probe_timeout):
+            errors.append(f"attempt {attempt + 1}: backend probe failed/hung")
+            continue
+        parsed = _run_inner_subprocess(run_timeout)
+        if parsed is not None:
+            print(json.dumps(parsed))
+            return
+        errors.append(f"attempt {attempt + 1}: inner run produced no metric")
+    # Every attempt failed: emit an explicit, parseable failure record so
+    # the round still produces an artifact distinguishing "relay down"
+    # from "repo broken" (the probe is pure jax — no repo code).
+    print(json.dumps({
+        "metric": "bench_unavailable",
+        "value": 0.0,
+        "unit": "TPU relay unavailable after %d attempts: %s"
+                % (attempts, "; ".join(errors)),
+        "vs_baseline": 0.0,
+    }))
 
 
 def repeated_best(run_once, repeats=None):
@@ -115,12 +224,23 @@ def bench_train() -> None:
 
     dt = repeated_best(run_once)
     crops_per_sec = batch * iters / dt
+    # Batch size and repeat count are recorded IN the emitted JSON so
+    # numbers measured at different configs can never be compared
+    # unnoticed across rounds (r3 moved batch 16->64 / 32->128 and to
+    # min-of-N timing; ADVICE r3 item 1).
+    bench_cfg = {
+        "batch": batch,
+        "repeats": int(os.environ.get("BENCH_REPEATS", "3")),
+        "iters": iters,
+        "timing": "min_of_repeats_deferred_fetch",
+    }
     if flagship:
         metric = {
             "metric": "clip_vit_b16_vpt_224_train_throughput",
             "value": round(crops_per_sec, 2),
             "unit": f"224^2 crops/s/chip (bf16, VPT-32 frozen trunk, {count_loss} loss)",
             "vs_baseline": round(crops_per_sec / 700.0, 3),  # ~A100 torch AMP est.
+            **bench_cfg,
         }
     else:
         metric = {
@@ -128,11 +248,12 @@ def bench_train() -> None:
             "value": round(crops_per_sec, 2),
             "unit": f"448^2 crops/s/chip (bf16, {count_loss} loss)",
             "vs_baseline": round(crops_per_sec / 200.0, 3),  # ~A100 torch AMP est.
+            **bench_cfg,
         }
     print(json.dumps(metric))
 
 
-def main() -> None:
+def inner_main() -> None:
     """Primary metric: the FULL sliding-window inference pipeline on one
     NWPU-scale image (2048x3072) — window gather, bucketed batched forward
     (with hoisted frozen text features, the production eval path), and
@@ -269,6 +390,13 @@ def main() -> None:
             }
         )
     )
+
+
+def main() -> None:
+    if os.environ.get("BENCH_INNER") == "1":
+        inner_main()
+    else:
+        orchestrate()
 
 
 if __name__ == "__main__":

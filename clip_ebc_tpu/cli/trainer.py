@@ -102,7 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "features will not match the pretrained embedding space)")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--ckpt_dir", type=str, default=None)
-    p.add_argument("--max_points", type=int, default=2048, help="per-image point pad for the OT loss")
+    p.add_argument("--max_points", type=int, default=0,
+                   help="per-image point pad for the OT loss; 0 (default) "
+                   "auto-sizes from the dataset's max annotation count so "
+                   "no point is ever truncated (the reference's OT uses "
+                   "every GT point, reference losses/dm_loss.py:48)")
     p.add_argument("--eval_disable_size_check", action="store_true")
     # Multi-host
     p.add_argument("--coordinator", type=str, default=None)
@@ -181,7 +185,7 @@ def main(argv=None) -> None:
         train_ds,
         batch_size=cfg.batch_size,
         reduction=cfg.reduction,
-        max_points=args.max_points,
+        max_points=args.max_points or None,
         seed=cfg.seed,
         num_threads=cfg.num_workers,
         num_workers=args.loader_procs,

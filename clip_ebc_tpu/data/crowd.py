@@ -110,6 +110,22 @@ class CrowdDataset:
     def __len__(self) -> int:
         return len(self.image_paths)
 
+    def max_point_count(self) -> int:
+        """Max annotation count across the split — a header-only scan
+        (the npy shape lives in the 128-byte header; mmap_mode never
+        faults the data in), so this is cheap even for NWPU's 3109
+        labels. Used to auto-size the OT point pad so no point is ever
+        truncated (the reference's OT consumes every GT point,
+        reference losses/dm_loss.py:48)."""
+        cached = getattr(self, "_max_point_count", None)
+        if cached is None:
+            best = 0
+            for p in self.label_paths:
+                arr = np.load(p, mmap_mode="r")
+                best = max(best, int(np.prod(arr.shape)) // 2)
+            self._max_point_count = cached = best
+        return cached
+
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         """Returns (images [K,H,W,3], points list of K (N,2), densities [K,H,W])."""
         rng = rng or np.random.default_rng()

@@ -163,7 +163,7 @@ class TrainLoader:
         dataset,
         batch_size: int,
         reduction: int,
-        max_points: int = 2048,
+        max_points: Optional[int] = None,
         seed: int = 0,
         num_threads: int = 4,
         host_id: int = 0,
@@ -180,6 +180,17 @@ class TrainLoader:
         self.batch_size = batch_size
         self.items_per_batch = batch_size // dataset.num_crops
         self.reduction = reduction
+        if max_points is None:
+            # Auto-size the OT point pad from the dataset's max annotation
+            # count (rounded up to a power of two for shape stability):
+            # the reference's OT consumes EVERY GT point (reference
+            # losses/dm_loss.py:48), so a fixed cap silently skews the OT
+            # term on extreme-density crops (QNRF/NWPU reach >12k points).
+            # The separable Sinkhorn's cost is ~linear in P, so a generous
+            # pad is cheap. The value depends only on the dataset, so every
+            # host in a multi-host run computes the same (static) shape.
+            n = dataset.max_point_count() if hasattr(dataset, "max_point_count") else 0
+            max_points = max(256, 1 << (int(n) - 1).bit_length()) if n else 256
         self.max_points = max_points
         self.seed = seed
         self.num_threads = num_threads
@@ -235,6 +246,7 @@ class TrainLoader:
 
     def _iter_process_pool(self, indices, item_seeds, n_items) -> Iterator[Batch]:
         import concurrent.futures as cf
+        from concurrent.futures.process import BrokenProcessPool
 
         pool = self._get_pool()
         # Bounded submission window: enough in flight to keep every worker
@@ -279,11 +291,23 @@ class TrainLoader:
                     nxt += 1
                     top_up()
                 yield self._collate(items)
+        except BrokenProcessPool as e:
+            # A worker DIED (segfault/OOM-kill, not a Python exception —
+            # those propagate via f.result() with the pool intact). The
+            # executor is permanently broken: drop it so the next epoch
+            # rebuilds a fresh pool instead of failing forever.
+            self.close()
+            raise RuntimeError(
+                "a loader worker process died (not a Python exception — "
+                "likely OOM-killed or crashed in native code); the pool "
+                "was reset and the next epoch will rebuild it"
+            ) from e
         finally:
             # Generator closed early (init draw, exception, profiling run):
             # drop the in-flight window so the next epoch starts clean.
-            for f in pending:
-                f.cancel()
+            if self._pool is not None:
+                for f in pending:
+                    f.cancel()
 
     def __iter__(self) -> Iterator[Batch]:
         indices = self._epoch_indices()

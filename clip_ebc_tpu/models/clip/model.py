@@ -61,6 +61,22 @@ DECODER_CFGS = {
 
 
 class ClipEBC(nn.Module):
+    """CLIP-EBC: blockwise count classification against text-prompt
+    embeddings (reference models/clip/model.py).
+
+    FROZEN-TRUNK CONTRACT: when ``freeze_image_encoder=True`` (the VPT
+    mode — the factory sets it for every ViT backbone), the image trunk
+    is built with ``trunk_frozen=True`` and the fused pair-packed
+    attention kernel SKIPS computing cotangents for the trunk's LN/QKV
+    projection weights — they come back exact-zero, not merely "to be
+    masked later". The bundled ``Trainer`` honors this (it stop_gradient-
+    prunes frozen subtrees and masks the optimizer), but a CUSTOM training
+    loop that differentiates this module and applies raw grads will see
+    silently zero trunk gradients — by design. If you need trunk
+    gradients, build with ``freeze_image_encoder=False`` (and accept the
+    full backward cost). See ops/fused_attention.py (frozen backward).
+    """
+
     backbone: str
     bins: Sequence[Tuple[float, float]]
     anchor_points: Sequence[float]
@@ -294,6 +310,12 @@ def build_clip_ebc(
 
     ViT backbones train via VPT with the trunk frozen; ResNet backbones
     fine-tune end-to-end (reference model.py:60-76).
+
+    NOTE (custom training loops): for ViT backbones this sets
+    ``freeze_image_encoder=True``, which makes the fused attention
+    backward return EXACT-ZERO gradients for the frozen trunk's LN/QKV
+    weights (see the ClipEBC docstring). Train through the bundled
+    ``Trainer`` (which masks those params) or zero/ignore them yourself.
     """
     if bins is None or anchor_points is None:
         raise ValueError("CLIP-EBC requires bins and anchor_points")

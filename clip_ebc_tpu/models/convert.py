@@ -586,6 +586,67 @@ def detect_clip_arch(sd: Mapping[str, Any]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# prepared-artifact serialization (cli/prepare.py output format)
+# ---------------------------------------------------------------------------
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_prepared_tree(path: str, params: Mapping[str, Any],
+                       stats: Mapping[str, Any] | None = None,
+                       meta: Mapping[str, str] | None = None) -> None:
+    """Write converted Flax trees as a single compressed .npz — the
+    TPU-native counterpart of the reference's split ``.pth`` files
+    (reference models/clip/_clip/prepare.py:55-58). Keys are
+    '/'-joined paths prefixed ``params/`` or ``stats/``; ``meta``
+    strings (e.g. the backbone name) go under ``meta/``."""
+    flat = _flatten_tree(params, "params")
+    if stats:
+        flat.update(_flatten_tree(stats, "stats"))
+    for k, v in (meta or {}).items():
+        flat[f"meta/{k}"] = np.asarray(str(v))
+    np.savez_compressed(path, **flat)
+
+
+def load_prepared_tree(
+    path: str,
+) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, str]]:
+    """Inverse of :func:`save_prepared_tree`; returns (params, stats, meta)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    params_flat = {k[len("params/"):]: v for k, v in flat.items()
+                   if k.startswith("params/")}
+    stats_flat = {k[len("stats/"):]: v for k, v in flat.items()
+                  if k.startswith("stats/")}
+    meta = {k[len("meta/"):]: str(v) for k, v in flat.items()
+            if k.startswith("meta/")}
+    if not params_flat:
+        raise ValueError(f"{path} is not a prepared-tree artifact "
+                         "(no 'params/' entries)")
+    return _unflatten_tree(params_flat), _unflatten_tree(stats_flat), meta
+
+
+# ---------------------------------------------------------------------------
 # tree utilities
 # ---------------------------------------------------------------------------
 

@@ -164,10 +164,33 @@ def apply_pretrained(
     HARD ERROR: byte-fallback token ids are meaningless to pretrained text
     embeddings, so every prompt feature — and therefore every count — would
     be silently garbage. Pass ``allow_byte_tokenizer=True`` (CLI:
-    ``--allow_byte_tokenizer``) only for synthetic-weight tests."""
-    sd = _as_state_dict(checkpoint)
-    kind = C.detect_checkpoint_kind(sd)
-    p_over, s_over = convert_for_model(model, sd, variables)
+    ``--allow_byte_tokenizer``) only for synthetic-weight tests.
+
+    A ``.npz`` path is treated as a prepared artifact from
+    ``cli/prepare.py`` (already-converted Flax trees; no torch needed):
+    the full ``clip_{name}.npz`` overlays a ClipEBC's towers exactly like
+    the torch checkpoint it was prepared from."""
+    if isinstance(checkpoint, str) and checkpoint.endswith(".npz"):
+        from .clip.model import ClipEBC
+
+        p_over, s_over, meta = C.load_prepared_tree(checkpoint)
+        if not ("image_encoder" in p_over and "text_encoder" in p_over):
+            raise ValueError(
+                f"{checkpoint} is a tower-only prepared artifact; pass the "
+                "full clip_{name}.npz (or consume the tower tree directly "
+                "via models.convert.load_prepared_tree)")
+        if not isinstance(model, ClipEBC):
+            raise ValueError("a prepared CLIP artifact requires a clip_* model")
+        arch = meta.get("backbone")
+        if arch and arch != model.backbone:
+            raise ValueError(
+                f"prepared artifact is CLIP {arch!r} but the model was built "
+                f"with backbone {model.backbone!r}")
+        kind = "clip"
+    else:
+        sd = _as_state_dict(checkpoint)
+        kind = C.detect_checkpoint_kind(sd)
+        p_over, s_over = convert_for_model(model, sd, variables)
     if kind in ("clip", "reference_clip_ebc"):
         from .clip.tokenizer import ByteFallbackTokenizer, get_tokenizer
 

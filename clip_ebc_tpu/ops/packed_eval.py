@@ -204,11 +204,16 @@ def packed_predict_densities(
     strategy: str = "average",
     batch_windows: int = 128,
     chunk: int = 16,
-    dtype=jnp.bfloat16,
+    dtype=None,
 ) -> Iterator[jnp.ndarray]:
     """Generator: density maps for an iterable of (H, W, 3) images, in
     order, with windows packed across images into ``batch_windows``-sized
-    forward batches."""
+    forward batches.
+
+    ``dtype=None`` (default) keeps each image's own dtype through the
+    forward — matching ``Evaluator.predict_densities_packed`` and the
+    per-image path, so fp32 runs give identical results through every
+    entry point (ADVICE r3: this helper used to silently cast to bf16)."""
     packer = WindowPacker(
         forward, ctx, window, stride, reduction, strategy,
         batch_windows, chunk, dtype,

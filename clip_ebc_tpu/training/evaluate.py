@@ -47,6 +47,11 @@ class Evaluator:
         self.strategy = strategy
         self.pad_to_multiple = pad_to_multiple
         self.mesh = mesh  # shard the window batch across the pod
+        # Persistent decode pool for repeated evaluate() calls (per-epoch
+        # validation): spawn + package import costs seconds per worker,
+        # so it is paid once per (dataset, procs), not per epoch.
+        self._decode_pool = None
+        self._decode_pool_key = None
 
         @jax.jit
         def forward(variables, images):
@@ -78,6 +83,27 @@ class Evaluator:
             self._forward_ctx = forward_ctx
             self._text_for = None  # identity of the variables the cache is for
             self._text_feats = None
+
+    def decode_pool(self, dataset, decode_procs: int):
+        """Persistent decode ProcessPoolExecutor, reused across
+        ``evaluate()`` calls with the same (dataset, procs) — mirrors
+        TrainLoader._get_pool so per-epoch validation doesn't respawn
+        workers (+re-import the package) every call."""
+        key = (id(dataset), decode_procs)
+        if self._decode_pool is not None and self._decode_pool_key != key:
+            self._decode_pool.shutdown(wait=False, cancel_futures=True)
+            self._decode_pool = None
+        if self._decode_pool is None:
+            self._decode_pool = _make_decode_pool(dataset, decode_procs)
+            self._decode_pool_key = key
+        return self._decode_pool
+
+    def close(self) -> None:
+        """Shut down the persistent decode pool (if any)."""
+        if self._decode_pool is not None:
+            self._decode_pool.shutdown(wait=False, cancel_futures=True)
+            self._decode_pool = None
+            self._decode_pool_key = None
 
     def _forward_fn(self, variables):
         """Return ``(forward, ctx)`` — a stable (ctx, images) -> density
@@ -160,13 +186,30 @@ class Evaluator:
         with windows packed ACROSS images into fixed ``batch_windows``-size
         forward batches (ops/packed_eval.py): the trunk program compiles
         once for the whole stream and never runs partially empty — the
-        mixed-size serving path (single-chip; per-image ``mesh`` sharding
-        does not apply here)."""
+        mixed-size serving path.
+
+        With a ``mesh``, the fixed window batch is sharded across the
+        mesh's devices (batch axis), so the packed stream rides the same
+        data-parallel layout as the per-image path — ``batch_windows``
+        must divide evenly by the mesh size."""
         if not self.sliding_window:
             raise ValueError("packed prediction requires sliding_window=True")
         from ..ops.packed_eval import WindowPacker
 
         forward, ctx = self._forward_fn(variables)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_dev = self.mesh.devices.size
+            if batch_windows % n_dev:
+                raise ValueError(
+                    f"batch_windows {batch_windows} must be divisible by the "
+                    f"mesh's {n_dev} devices for packed eval under a mesh")
+            sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+            base_forward = forward
+
+            def forward(fctx, windows):  # noqa: F811 — mesh-sharded wrapper
+                return base_forward(fctx, jax.device_put(windows, sharding))
         packer = WindowPacker(
             forward, ctx, self.window, self.stride, self.reduction,
             self.strategy, batch_windows=batch_windows, chunk=chunk,
@@ -205,35 +248,49 @@ def _eval_pool_load(i):
     return i, images[0], float(len(labels[0]))
 
 
-def _decoded_items(dataset, n, prefetch, decode_procs):
+def _make_decode_pool(dataset, decode_procs):
+    import concurrent.futures as cf
+    import multiprocessing as mp
+    import pickle
+
+    return cf.ProcessPoolExecutor(
+        max_workers=decode_procs,
+        mp_context=mp.get_context("spawn"),
+        initializer=_eval_pool_init,
+        initargs=(pickle.dumps(dataset),),
+    )
+
+
+def _decoded_items(dataset, n, prefetch, decode_procs, pool=None):
     """Yield (image, gt_count) for items 0..n-1, decoding ahead of the
     consumer: on a background thread by default, or across
     ``decode_procs`` worker processes (bounded in-flight window, ordered
     delivery) — full-image eval decode is GIL-bound numpy/PIL like the
     train augs, so real eval runs over thousands of NWPU-scale images
-    need processes to keep the chip busy."""
+    need processes to keep the chip busy.
+
+    ``pool`` lets the caller pass a PERSISTENT executor (see
+    ``Evaluator.decode_pool``): per-epoch validation during training must
+    not pay worker spawn + full package import every call (ADVICE r3
+    item 5). Without one, a throwaway pool is created and torn down."""
     if decode_procs > 0 and n > 0:
         import concurrent.futures as cf
-        import multiprocessing as mp
-        import pickle
 
-        with cf.ProcessPoolExecutor(
-            max_workers=decode_procs,
-            mp_context=mp.get_context("spawn"),
-            initializer=_eval_pool_init,
-            initargs=(pickle.dumps(dataset),),
-        ) as pool:
-            window = max(prefetch, 2 * decode_procs)
-            ready: dict[int, tuple] = {}
-            pending: set = set()
-            submitted = 0
+        owns_pool = pool is None
+        if owns_pool:
+            pool = _make_decode_pool(dataset, decode_procs)
+        window = max(prefetch, 2 * decode_procs)
+        ready: dict[int, tuple] = {}
+        pending: set = set()
+        submitted = 0
 
-            def top_up():
-                nonlocal submitted
-                while submitted < n and len(pending) + len(ready) < window:
-                    pending.add(pool.submit(_eval_pool_load, submitted))
-                    submitted += 1
+        def top_up():
+            nonlocal submitted
+            while submitted < n and len(pending) + len(ready) < window:
+                pending.add(pool.submit(_eval_pool_load, submitted))
+                submitted += 1
 
+        try:
             top_up()
             for nxt in range(n):
                 while nxt not in ready:
@@ -246,6 +303,14 @@ def _decoded_items(dataset, n, prefetch, decode_procs):
                     top_up()
                 yield ready.pop(nxt)
                 top_up()
+        finally:
+            # Early close (exception, partial consumption): drop the
+            # in-flight window so a persistent pool starts the next
+            # epoch clean; tear down throwaway pools entirely.
+            for f in pending:
+                f.cancel()
+            if owns_pool:
+                pool.shutdown(wait=False, cancel_futures=True)
         return
 
     import queue
@@ -287,7 +352,9 @@ def evaluate(
     """
     acc = CountErrorAccumulator()
     n = len(dataset)
-    items = _decoded_items(dataset, n, prefetch, decode_procs)
+    pool = (evaluator.decode_pool(dataset, decode_procs)
+            if decode_procs > 0 and n > 0 else None)
+    items = _decoded_items(dataset, n, prefetch, decode_procs, pool=pool)
 
     indices = range(n)
     if progress:

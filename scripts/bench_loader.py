@@ -28,7 +28,36 @@ def main() -> None:
                     help="worker processes (0 = thread mode)")
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--data_dir", type=str, default="/tmp/synth224")
+    ap.add_argument("--sweep", type=str, default=None,
+                    help="comma-separated proc counts (e.g. 1,2,4,8,16): "
+                    "measure each and emit a JSON scaling curve to "
+                    "LOADER_SCALING.json — run this on a multi-core TPU-VM "
+                    "host to validate the per-core extrapolation")
     args = ap.parse_args()
+
+    if args.sweep:
+        import json
+        import subprocess
+
+        curve = {"nproc_host": os.cpu_count(), "points": []}
+        for p in [int(x) for x in args.sweep.split(",")]:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--procs", str(p), "--data_dir", args.data_dir],
+                capture_output=True, text=True,
+            )
+            rates = {}
+            for line in (out.stdout or "").splitlines():
+                if "crops/s host-side" in line:
+                    parts = line.split()
+                    rates[parts[0]] = float(parts[-3])
+            curve["points"].append({"procs": p, "rates": rates,
+                                    "rc": out.returncode})
+            print(f"procs={p}: {rates}")
+        with open("LOADER_SCALING.json", "w") as f:
+            json.dump(curve, f, indent=2)
+        print("wrote LOADER_SCALING.json")
+        return
 
     from clip_ebc_tpu.config import ExperimentConfig
     from clip_ebc_tpu.data import make_train_transforms

@@ -105,3 +105,30 @@ def test_evaluate_decode_procs_matches(model_and_vars):
     pooled = evaluate(ev, variables, ds, decode_procs=2)
     assert pooled["mae"] == pytest.approx(base["mae"], rel=1e-6)
     assert pooled["rmse"] == pytest.approx(base["rmse"], rel=1e-6)
+
+
+def test_evaluate_decode_pool_persists_across_calls(model_and_vars, monkeypatch):
+    """Per-epoch validation must reuse ONE decode pool, not respawn
+    workers (+ re-import the package) every evaluate() call
+    (ADVICE r3 item 5)."""
+    from clip_ebc_tpu.training import evaluate as E
+
+    model, variables = model_and_vars
+    ds = _StubDataset()
+    ev = Evaluator(model, reduction=8)
+    made = []
+    real = E._make_decode_pool
+
+    def counting(dataset, procs):
+        made.append(procs)
+        return real(dataset, procs)
+
+    monkeypatch.setattr(E, "_make_decode_pool", counting)
+    try:
+        r1 = evaluate(ev, variables, ds, decode_procs=2)
+        r2 = evaluate(ev, variables, ds, decode_procs=2)
+        assert made == [2]  # second epoch reused the pool
+        assert r1 == r2
+    finally:
+        ev.close()
+    assert ev._decode_pool is None

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -208,3 +210,167 @@ def test_process_pool_matches_thread_mode(tmp_path):
             np.testing.assert_array_equal(bt.density, bp.density)
     finally:
         lp.close()
+
+
+def test_auto_max_points_no_truncation(tmp_path):
+    """Default (max_points=None) sizes the pad from the dataset's max
+    annotation count — no point is ever dropped, matching the reference's
+    uncapped OT (reference losses/dm_loss.py:48; VERDICT r3 item 4)."""
+    import numpy as np
+    from PIL import Image
+
+    from clip_ebc_tpu.data.crowd import CrowdDataset
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    root = tmp_path / "ds"
+    (root / "shb" / "train" / "images").mkdir(parents=True)
+    (root / "shb" / "train" / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    counts = [3, 2600, 17, 900]  # one image beyond the old 2048 cap
+    for i, n in enumerate(counts, start=1):
+        Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8), "RGB"
+        ).save(root / "shb" / "train" / "images" / f"{i}.jpg")
+        np.save(
+            root / "shb" / "train" / "labels" / f"{i}.npy",
+            rng.uniform(0, [128, 96], size=(n, 2)).astype(np.float32),
+        )
+
+    ds = CrowdDataset("shb", "train", data_root=str(root), num_crops=1,
+                      check_sizes=False)
+    assert ds.max_point_count() == 2600  # header-only scan
+    loader = TrainLoader(ds, batch_size=1, reduction=8, seed=0, num_threads=1)
+    assert loader.max_points == 4096  # next power of two
+    total_pts = 0
+    for b in loader:
+        assert b.points.shape[1] == 4096
+        total_pts += int(b.point_mask.sum())
+    assert loader.dropped_points == 0
+    # no transforms: every annotation flows through to the OT pad
+    assert total_pts == sum(counts)
+
+
+def test_auto_max_points_fallback_without_stats():
+    """Datasets without max_point_count() (custom item sources) fall back
+    to the 256 floor instead of failing."""
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _FakeDataset()
+    loader = TrainLoader(ds, batch_size=4, reduction=8, seed=0)
+    assert loader.max_points == 256
+
+
+class _JitterDataset:
+    """Picklable dataset with per-item variable latency — forces heavy
+    out-of-order completion inside the pool's bounded window."""
+
+    num_crops = 1
+
+    def __init__(self, n=10, size=32):
+        self.n, self.size = n, size
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx, rng=None):
+        import time
+
+        time.sleep(0.12 if idx % 3 == 0 else 0.01)
+        rng = rng or np.random.default_rng(idx)
+        s = self.size
+        img = rng.normal(size=(1, s, s, 3)).astype(np.float32)
+        pts = [rng.uniform(0, s, size=(idx % 4, 2)).astype(np.float32)]
+        dens = np.zeros((1, s, s), np.float32)
+        for x, y in pts[0]:
+            dens[0, int(y), int(x)] += 1.0
+        return img, pts, dens
+
+
+class _CrashingDataset(_JitterDataset):
+    """Hard-kills the worker process (os._exit — not a Python exception)
+    on item 3 while the flag file exists."""
+
+    def __init__(self, flag_path, n=8, size=32):
+        super().__init__(n, size)
+        self.flag_path = flag_path
+
+    def __getitem__(self, idx, rng=None):
+        import os
+
+        if idx == 3 and os.path.exists(self.flag_path):
+            os._exit(1)
+        return super().__getitem__(idx, rng)
+
+
+class _RaisingDataset(_JitterDataset):
+    def __getitem__(self, idx, rng=None):
+        if idx == 2:
+            raise ValueError("bad label file xyz")
+        return super().__getitem__(idx, rng)
+
+
+def test_pool_out_of_order_completion_matches_thread_mode():
+    """Items completing wildly out of order (slow/fast workers) must not
+    change batch contents or order — ordered delivery under the bounded
+    window (VERDICT r3 item 9)."""
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _JitterDataset()
+    lt = TrainLoader(ds, batch_size=2, reduction=8, max_points=8, seed=1,
+                     num_threads=1)
+    lp = TrainLoader(ds, batch_size=2, reduction=8, max_points=8, seed=1,
+                     num_workers=3)
+    lt.set_epoch(2)
+    lp.set_epoch(2)
+    try:
+        got = list(zip(lt, lp))
+        assert len(got) == 5
+        for bt, bp in got:
+            np.testing.assert_array_equal(bt.images, bp.images)
+            np.testing.assert_array_equal(bt.points, bp.points)
+            np.testing.assert_array_equal(bt.density, bp.density)
+    finally:
+        lp.close()
+
+
+def test_pool_worker_death_resets_pool_and_recovers(tmp_path):
+    """A worker that DIES (os._exit, as an OOM kill would) must surface a
+    clear error — not hang — and the next epoch must rebuild the pool and
+    succeed (VERDICT r3 item 9)."""
+    import pytest as _pytest
+
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    flag = str(tmp_path / "crash_on")
+    open(flag, "w").close()
+    ds = _CrashingDataset(flag)
+    loader = TrainLoader(ds, batch_size=2, reduction=8, max_points=8, seed=0,
+                         num_workers=2)
+    try:
+        with _pytest.raises(RuntimeError, match="worker process died"):
+            list(loader)
+        assert loader._pool is None  # broken pool was dropped
+        os.remove(flag)  # next epoch: same dataset, no crash
+        loader.set_epoch(1)
+        batches = list(loader)
+        assert len(batches) == 4  # fresh pool rebuilt transparently
+    finally:
+        loader.close()
+
+
+def test_pool_worker_exception_propagates_pool_survives():
+    """A Python exception in a worker propagates with its original type
+    (the pool is NOT broken by it)."""
+    import pytest as _pytest
+
+    from clip_ebc_tpu.data.loader import TrainLoader
+
+    ds = _RaisingDataset()
+    loader = TrainLoader(ds, batch_size=2, reduction=8, max_points=8, seed=0,
+                         num_workers=2)
+    try:
+        with _pytest.raises(ValueError, match="bad label file"):
+            list(loader)
+        assert loader._pool is not None  # executor still alive
+    finally:
+        loader.close()

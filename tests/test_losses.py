@@ -198,3 +198,35 @@ def test_dace_loss_jit_and_grad():
 
     g = jax.grad(f, argnums=(0, 1))(jnp.asarray(logits), jnp.asarray(pred))
     assert all(np.isfinite(np.asarray(x)).all() for x in g)
+
+
+def test_dmcount_beyond_legacy_point_cap():
+    """OT parity at P > 2048 (the pre-r4 fixed pad): a 3000-point image
+    must match the numpy oracle exactly like a sparse one — the auto pad
+    (loader) plus the separable solver make the uncapped-OT semantics of
+    the reference (reference losses/dm_loss.py:48) the default."""
+    rng = np.random.default_rng(11)
+    b, pad = 2, 4096
+    pred = rng.uniform(0, 0.5, (b, HW, HW)).astype(np.float32)
+    pts_lists = [
+        rng.uniform(0, INPUT, (3000, 2)).astype(np.float32),
+        rng.uniform(0, INPUT, (7, 2)).astype(np.float32),
+    ]
+    target = np.zeros((b, HW, HW), np.float32)
+    for i, pts in enumerate(pts_lists):
+        for x, y in pts:
+            target[i, int(y) // RED, int(x) // RED] += 1.0
+    points = np.zeros((b, pad, 2), np.float32)
+    mask = np.zeros((b, pad), bool)
+    for i, pts in enumerate(pts_lists):
+        points[i, : len(pts)] = pts
+        mask[i, : len(pts)] = True
+
+    cfg = DMCountConfig(input_size=INPUT, reduction=RED)
+    loss, info = dmcount_loss(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(points),
+        jnp.asarray(mask), cfg
+    )
+    oracle, parts = numpy_dmcount_oracle(pred.astype(np.float64), target, pts_lists)
+    assert float(loss) == pytest.approx(oracle, rel=2e-3)
+    assert float(info["ot_loss"]) == pytest.approx(parts["ot"], rel=2e-3, abs=1e-4)

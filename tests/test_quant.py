@@ -250,3 +250,25 @@ def test_validate_quant_scales_rejects_uncalibrated():
 
     with pytest.raises(ValueError, match="quant"):
         validate_quant_scales({"params": v["params"]})
+
+
+def test_validate_quant_scales_partial_warns_not_raises(caplog):
+    """A quant leaf on a layer the calibration forward never exercised
+    (e.g. a config-gated branch) must not abort an otherwise-valid
+    calibration: partial zeros WARN with readable paths; strict=True (or
+    all-zero) still raises (ADVICE r3 item 3)."""
+    import logging
+
+    from clip_ebc_tpu.ops.quant import validate_quant_scales
+
+    quant = {
+        "Dense_0": {"act_amax": np.asarray(1.5, np.float32)},
+        "gated_branch": {"act_amax": np.asarray(0.0, np.float32)},
+    }
+    with caplog.at_level(logging.WARNING, logger="clip_ebc_tpu"):
+        validate_quant_scales({"quant": quant})
+    assert any("gated_branch/act_amax" in r.message for r in caplog.records)
+    assert not any("DictKey" in r.message for r in caplog.records)
+
+    with pytest.raises(ValueError, match="gated_branch"):
+        validate_quant_scales({"quant": quant}, strict=True)

@@ -50,3 +50,49 @@ def test_sharded_real_model_evaluator():
     c1 = ev_single.predict_count(variables, img)
     c2 = ev_sharded.predict_count(variables, img)
     np.testing.assert_allclose(c1, c2, rtol=1e-4)
+
+
+def test_sharded_packed_eval_matches_single_device():
+    """Packed cross-image eval under a mesh (window batch sharded over the
+    data axis) must produce the same densities as the single-device packed
+    path and the per-image path (VERDICT r3 item 7: the packed evaluator
+    rides the mesh)."""
+    from clip_ebc_tpu.models import get_model
+    from clip_ebc_tpu.training.evaluate import Evaluator
+
+    bins = [(0.0, 0.0), (1.0, 1.0), (2.0, float("inf"))]
+    model = get_model("vgg11", input_size=64, reduction=16, bins=bins,
+                      anchor_points=[0.0, 1.0, 2.2])
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=True)
+    variables = {k: v for k, v in variables.items()
+                 if k in ("params", "batch_stats")}
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    stream = [
+        rng.normal(size=(64, 128, 3)).astype(np.float32),
+        rng.normal(size=(128, 128, 3)).astype(np.float32),
+        rng.normal(size=(64, 64, 3)).astype(np.float32),
+    ]
+    kw = dict(reduction=16, sliding_window=True, window_size=64, stride=64)
+    ev_single = Evaluator(model, **kw)
+    ev_sharded = Evaluator(model, **kw, mesh=mesh)
+
+    single = list(ev_single.predict_densities_packed(
+        variables, stream, batch_windows=8, chunk=2))
+    sharded = list(ev_sharded.predict_densities_packed(
+        variables, stream, batch_windows=8, chunk=2))
+    assert len(single) == len(sharded) == 3
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+    # per-image cross-check
+    for img, d in zip(stream, sharded):
+        c = float(ev_sharded.predict_count(variables, img))
+        np.testing.assert_allclose(float(np.asarray(d).sum()), c, rtol=1e-4)
+
+    # batch_windows must divide by the mesh size
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        list(ev_sharded.predict_densities_packed(
+            variables, stream, batch_windows=6, chunk=2))
