@@ -59,6 +59,15 @@ def _probe_backend(timeout: float) -> bool:
         print("bench: probe timed out (relay hang)", file=sys.stderr)
         return False
     ok = res.returncode == 0 and "PROBE_OK" in res.stdout
+    if ok and "PROBE_OK tpu" not in res.stdout and (
+        os.environ.get("BENCH_ALLOW_CPU") != "1"
+    ):
+        # A non-TPU fallback would silently measure the host CPU for the
+        # whole run timeout; treat it as a failed probe (BENCH_ALLOW_CPU=1
+        # overrides for debugging).
+        print("bench: probe found no TPU (got: %s)"
+              % res.stdout.strip().splitlines()[-1], file=sys.stderr)
+        return False
     if not ok:
         tail = (res.stderr or res.stdout).strip().splitlines()[-3:]
         print("bench: probe failed: " + " | ".join(tail), file=sys.stderr)
@@ -73,7 +82,7 @@ def _run_inner_subprocess(timeout: float):
     try:
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=timeout, env=env,
         )
     except subprocess.TimeoutExpired as e:
         out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
@@ -286,13 +295,21 @@ def inner_main() -> None:
     attn = os.environ.get("BENCH_ATTN", "auto")  # auto|flash|sdpa
     # Static-int8 QK^T/PV inside the fused attention kernel (calibrated
     # q/k/v scales; ops/fused_attention._pair_attention_body_static).
-    q_attn = (
-        os.environ.get("BENCH_QUANT_ATTN", "0") == "1" and quant_env == "int8_static"
-    )
+    # "1": static scales inside the Pallas kernel; "xla": QK^T/PV as XLA
+    # integer einsums (ops/int8_attention.py). Both need int8_static.
+    qa_env = os.environ.get("BENCH_QUANT_ATTN", "0")
+    q_attn = False
+    if quant_env == "int8_static":
+        q_attn = {"0": False, "1": True, "xla": "xla"}.get(qa_env, False)
+    # BENCH_FUSE_LN=off keeps the qkv projection in XLA (Int8Dense under
+    # int8 modes) and hands only the attention to the Pallas kernel — the
+    # Mosaic-vs-XLA qkv-matmul A/B knob (scripts/ledger_decoder_pre.py).
+    fuse_ln_mode = os.environ.get("BENCH_FUSE_LN", "auto")
     model, _ = _flagship(
         dtype=jnp.bfloat16, quant_int8=quant,
         quant_mode="static" if quant_env == "int8_static" else "dynamic",
         decoder_before_upsample=dec_pre, attn_backend=attn, quant_attn=q_attn,
+        fuse_ln_mode=fuse_ln_mode,
     )
     h, w = (
         int(os.environ.get("BENCH_IMG_H", "2048")),

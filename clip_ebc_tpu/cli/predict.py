@@ -53,9 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8", "int8_static"])
     p.add_argument("--calib_images", type=int, default=2)
-    p.add_argument("--quant_attn", action="store_true",
+    p.add_argument("--quant_attn", nargs="?", const="kernel", default=None,
+                   choices=["kernel", "xla"],
                    help="with --quant int8_static: int8 QK^T/PV with "
-                        "calibrated static q/k/v scales")
+                        "calibrated static q/k/v scales. 'kernel' (default "
+                        "when the flag is given bare) runs them inside the "
+                        "Pallas kernel; 'xla' as XLA integer einsums "
+                        "(ops/int8_attention.py)")
     p.add_argument("--packed_eval", action="store_true",
                    help="with --sliding_window: pack windows across images "
                         "into fixed-size forward batches (ops/packed_eval.py)")
@@ -122,7 +126,7 @@ def main(argv=None) -> None:
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, dtype=dtype,
         quant_int8=args.quant.startswith("int8"),
-        quant_attn=args.quant_attn,
+        quant_attn={"kernel": True, "xla": "xla", None: False}[args.quant_attn],
     )
     model = get_model(
         args.model, args.input_size, args.reduction, bins, anchors,

@@ -58,10 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "max-reduction the dynamic mode pays")
     p.add_argument("--calib_images", type=int, default=2,
                    help="images used to calibrate int8_static activation scales")
-    p.add_argument("--quant_attn", action="store_true",
+    p.add_argument("--quant_attn", nargs="?", const="kernel", default=None,
+                   choices=["kernel", "xla"],
                    help="with --quant int8_static: run QK^T/PV on the int8 "
-                        "MXU with calibrated static q/k/v scales "
-                        "(ops/fused_attention.py)")
+                        "MXU with calibrated static q/k/v scales. 'kernel' "
+                        "(bare flag) = inside the Pallas kernel "
+                        "(ops/fused_attention.py); 'xla' = XLA integer "
+                        "einsums (ops/int8_attention.py)")
     p.add_argument("--packed_eval", action="store_true",
                    help="with --sliding_window: pack windows across images "
                         "into fixed-size forward batches (one compiled trunk "
@@ -108,7 +111,7 @@ def main(argv=None) -> None:
         prompt_type=args.prompt_type, num_vpt=args.num_vpt,
         deep_vpt=not args.shallow_vpt, vpt_drop=args.vpt_drop, dtype=dtype,
         quant_int8=args.quant.startswith("int8"),
-        quant_attn=args.quant_attn,
+        quant_attn={"kernel": True, "xla": "xla", None: False}[args.quant_attn],
     )
     model = get_model(
         args.model, args.input_size, args.reduction, bins, anchors,

@@ -67,7 +67,8 @@ class ClipViT(nn.Module):
     features_only: bool = True  # False -> pooled CLS @ proj (joint-CLIP head)
     quant_int8: bool = False  # W8A8 inference matmuls (ops/quant.py)
     quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
-    quant_attn: bool = False  # static-int8 QK^T/PV (needs calibrated qkv_amax)
+    quant_attn: Any = False  # False | True (in-kernel) | "xla" (needs qkv_amax)
+    fuse_ln_mode: str = "auto"  # "off": qkv projection stays in XLA
     # Pallas fused qkv-attention (ops/fused_attention.py): the sequence is
     # padded once to a 128-multiple for the whole trunk and padded rows are
     # masked as keys inside the kernel.
@@ -172,6 +173,7 @@ class ClipViT(nn.Module):
                 quant_int8=self.quant_int8,
                 quant_mode=self.quant_mode,
                 quant_attn=self.quant_attn,
+                fuse_ln_mode=self.fuse_ln_mode,
                 # Set from the model's actual freeze configuration
                 # (ClipEBC.freeze_image_encoder), NOT inferred from VPT —
                 # the zero param-cotangents the fused backward returns are

@@ -96,7 +96,8 @@ class ClipEBC(nn.Module):
     fused_head: str = "auto"  # "auto" | "on" | "off" (Pallas head at eval)
     quant_int8: bool = False  # W8A8 int8 inference matmuls in the ViT trunk
     quant_mode: str = "dynamic"  # "static" needs a calibrated "quant" collection
-    quant_attn: bool = False  # static-int8 QK^T/PV (static mode only)
+    quant_attn: Any = False  # False | True (in-kernel) | "xla" (static mode)
+    fuse_ln_mode: str = "auto"  # "off": qkv projection stays in XLA (A/B knob)
     # TPU-optimized variant: run the residual decoder at the encoder's
     # native grid and upsample afterwards. At reduction 8 this cuts the
     # decoder's FLOPs 4x (it costs as much as the whole ViT-B trunk when
@@ -148,6 +149,7 @@ class ClipEBC(nn.Module):
                 dtype=self.dtype,
                 attn_impl=attn,
                 quant_int8=self.quant_int8,
+                fuse_ln_mode=self.fuse_ln_mode,
                 quant_mode=self.quant_mode,
                 quant_attn=self.quant_attn,
                 fused_qkv=use_fused_qkv(self.attn_backend),
@@ -303,7 +305,8 @@ def build_clip_ebc(
     decoder_before_upsample: bool = False,
     quant_int8: bool = False,
     quant_mode: str = "dynamic",
-    quant_attn: bool = False,
+    quant_attn: Any = False,
+    fuse_ln_mode: str = "auto",
     **_: Any,
 ) -> ClipEBC:
     """Factory with per-backbone defaults (reference models/clip/model.py:220-270).
@@ -340,6 +343,7 @@ def build_clip_ebc(
         fused_head=fused_head,
         decoder_before_upsample=decoder_before_upsample,
         quant_int8=quant_int8,
+        fuse_ln_mode=fuse_ln_mode,
         quant_mode=quant_mode,
         quant_attn=quant_attn,
     )

@@ -177,7 +177,10 @@ class MultiHeadAttention(nn.Module):
     kv_len: Optional[int] = None
     quant_int8: bool = False
     quant_mode: str = "dynamic"
-    quant_attn: bool = False
+    # False | True (static scales inside the Pallas kernel) | "xla"
+    # (static scales, QK^T/PV emitted as XLA integer einsums —
+    # ops/int8_attention.py).
+    quant_attn: Any = False
     # The surrounding trunk is frozen (VPT): the fused LN+qkv backward
     # emits dx only, via a single Pallas kernel (ops/fused_attention.py
     # _ln_qkv_bwd_frozen). Only set when the caller stop_gradients the
@@ -251,6 +254,28 @@ class MultiHeadAttention(nn.Module):
             )
             qkv_amax.value = jnp.maximum(qkv_amax.value, amax3)
 
+        if (
+            self.quant_attn == "xla"
+            and self.quant_int8
+            and self.quant_mode == "static"
+            and mask is None
+            and not self.is_initializing()
+            and not self.is_mutable_collection("quant")
+        ):
+            # Static-int8 attention as XLA integer einsums (the Mosaic-vs-
+            # XLA A/B for the attention matmuls; scales calibrated by the
+            # amax3 pass above).
+            from ..ops.int8_attention import xla_int8_qkv_attention
+
+            qkv_amax = self.variable(
+                "quant", "qkv_amax", lambda: jnp.zeros((3,), jnp.float32)
+            ).value
+            scales = jnp.maximum(qkv_amax, 1e-8 * 127.0) / 127.0
+            out = xla_int8_qkv_attention(
+                qkv, self.num_heads, self.kv_len or l, dh**-0.5, scales
+            )
+            return self.dense_cls(d, dtype=self.dtype, name="out_proj")(out)
+
         if self.fused_qkv and mask is None:
             from ..ops.fused_attention import (
                 MAX_FUSED_SEQ,
@@ -302,8 +327,15 @@ class ResidualAttentionBlock(nn.Module):
     kv_len: Optional[int] = None
     quant_int8: bool = False
     quant_mode: str = "dynamic"
-    quant_attn: bool = False
+    quant_attn: Any = False  # False | True (in-kernel) | "xla" (see MHA)
     trunk_frozen: bool = False
+    # "auto" (default): fold ln_1 + the qkv projection into the Pallas
+    # attention kernel whenever eligible. "off": keep the projection in
+    # XLA (Int8Dense under int8 modes) and hand only the attention to the
+    # kernel — the measurement knob for Mosaic-vs-XLA matmul rates
+    # (r3 found Mosaic's in-kernel int8 dot below XLA's emitter for the
+    # MLP; this lets the qkv projection be A/B'd the same way on chip).
+    fuse_ln_mode: str = "auto"
 
     @nn.compact
     def __call__(
@@ -322,6 +354,11 @@ class ResidualAttentionBlock(nn.Module):
 
         fuse_ln = (
             self.fused_qkv
+            and self.fuse_ln_mode != "off"
+            # "xla" attention reads the qkv tensor from HBM — the fused
+            # LN+qkv+attention kernel never materializes it, so the two
+            # are mutually exclusive; the projection runs as Int8Dense.
+            and self.quant_attn != "xla"
             and mask is None
             and not self.is_initializing()
             and not self.is_mutable_collection("quant")

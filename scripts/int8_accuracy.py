@@ -23,6 +23,15 @@ def main() -> None:
     p.add_argument("--out", type=str, default="/tmp/int8_acc.json")
     p.add_argument("--window", type=int, default=224)
     p.add_argument("--stride", type=int, default=224)
+    p.add_argument(
+        "--ckpt", type=str, default=None,
+        help="full-model .npz from scripts/convergence_run.py --save_ckpt: "
+        "run the sweep on TRAINED weights instead of random init "
+        "(VERDICT r3 weak #5)")
+    p.add_argument(
+        "--bins_dataset", type=str, default="qnrf",
+        help="bin table the checkpoint was trained with (the synthetic "
+        "convergence runs use shb)")
     args = p.parse_args()
 
     import jax
@@ -49,16 +58,38 @@ def main() -> None:
             for _ in range(args.n_eval // 6):
                 sweep.append(norm_scene(size, count))
 
-    q_attn = os.environ.get("INT8_QUANT_ATTN", "0") == "1"
-    bf16, _ = _flagship(dtype=jnp.bfloat16)
+    qa_env = os.environ.get("INT8_QUANT_ATTN", "0")
+    q_attn = {"0": False, "1": True, "xla": "xla"}.get(qa_env, False)
+    bd = args.bins_dataset
+    bf16, _ = _flagship(dtype=jnp.bfloat16, bins_dataset=bd)
     quant, _ = _flagship(
         dtype=jnp.bfloat16, quant_int8=True, quant_mode="static",
-        quant_attn=q_attn,
+        quant_attn=q_attn, bins_dataset=bd,
     )
-    dyn, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True)
+    dyn, _ = _flagship(dtype=jnp.bfloat16, quant_int8=True, bins_dataset=bd)
     variables = bf16.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.bfloat16), train=False
     )
+    weights = "random-init"
+    if args.ckpt:
+        import jax.tree_util as jtu
+
+        from clip_ebc_tpu.models.convert import load_prepared_tree
+
+        p_ck, s_ck, meta = load_prepared_tree(args.ckpt)
+        ref_shapes = jtu.tree_map(lambda x: x.shape, dict(variables)["params"])
+        got_shapes = jtu.tree_map(lambda x: x.shape, p_ck)
+        if ref_shapes != got_shapes:
+            raise SystemExit(
+                f"--ckpt param shapes do not match the flagship model; was it "
+                f"trained with --bins_dataset {bd}? (meta: {dict(meta)})")
+        variables = dict(variables)
+        variables["params"] = p_ck
+        if s_ck:
+            variables["batch_stats"] = s_ck
+        weights = f"trained ({meta.get('kind', '?')}, val MAE " \
+                  f"{meta.get('final_val_mae', '?')})"
+        print(f"loaded trained weights from {args.ckpt}: {dict(meta)}")
 
     # calibration: window batches from REPRESENTATIVE scenes (the recipe
     # cli/test_nwpu + cli/predict run with --quant int8_static)
@@ -100,6 +131,7 @@ def main() -> None:
     rel = np.abs(c_int8 - c_bf16) / np.maximum(np.abs(c_bf16), 1.0)
     result = {
         "n_images": len(sweep),
+        "weights": weights,
         "quant_attn": q_attn,
         "bf16": e_bf16,
         "int8_static": e_int8,
@@ -107,8 +139,10 @@ def main() -> None:
         "count_rel_delta_max": float(rel.max()),
         "mae_delta": float(e_int8["mae"] - e_bf16["mae"]),
         "rmse_delta": float(e_int8["rmse"] - e_bf16["rmse"]),
-        "note": "random-init weights; deltas measure QUANTIZATION error of "
-        "the pipeline on representative imagery, not trained accuracy",
+        "note": ("deltas measure QUANTIZATION error of the pipeline on "
+                 "representative imagery" +
+                 ("" if args.ckpt else "; random-init weights, not trained "
+                  "accuracy")),
     }
     print(json.dumps(result, indent=1))
     with open(args.out, "w") as f:

@@ -604,3 +604,23 @@ def test_fused_ln_qkv_long_seq_falls_back():
         np.asarray(_reference(qkv, h, l, sm)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fuse_ln_mode_off_matches_auto():
+    """fuse_ln_mode="off" (qkv projection in XLA, attention-only kernel —
+    the Mosaic-vs-XLA A/B knob for the decoder-pre ledger) must be
+    numerically identical to the default fused LN+qkv path."""
+    from clip_ebc_tpu.models.clip.image_encoder import ClipViT
+
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(1, 96, 96, 3)), jnp.float32
+    )
+    auto = ClipViT(variant="vit_b_16", input_size=96, num_vpt=4, fused_qkv=True)
+    v = auto.init(jax.random.PRNGKey(0), x, False)
+    got_auto = auto.apply(v, x, False)
+    off = ClipViT(variant="vit_b_16", input_size=96, num_vpt=4, fused_qkv=True,
+                  fuse_ln_mode="off")
+    got_off = off.apply(v, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got_off), np.asarray(got_auto), rtol=2e-4, atol=2e-4
+    )

@@ -265,8 +265,17 @@ def test_validate_quant_scales_partial_warns_not_raises(caplog):
         "Dense_0": {"act_amax": np.asarray(1.5, np.float32)},
         "gated_branch": {"act_amax": np.asarray(0.0, np.float32)},
     }
-    with caplog.at_level(logging.WARNING, logger="clip_ebc_tpu"):
-        validate_quant_scales({"quant": quant})
+    # a prior test may have routed the package logger through its own
+    # handler (utils/logging.get_logger sets propagate=False); caplog
+    # listens on root, so force propagation for the assertion
+    lg = logging.getLogger("clip_ebc_tpu")
+    old_propagate = lg.propagate
+    lg.propagate = True
+    try:
+        with caplog.at_level(logging.WARNING, logger="clip_ebc_tpu"):
+            validate_quant_scales({"quant": quant})
+    finally:
+        lg.propagate = old_propagate
     assert any("gated_branch/act_amax" in r.message for r in caplog.records)
     assert not any("DictKey" in r.message for r in caplog.records)
 
