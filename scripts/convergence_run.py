@@ -43,6 +43,9 @@ def main() -> None:
         "positional embeddings out of distribution.",
     )
     p.add_argument("--out", type=str, default="/tmp/convergence.json")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="float32 for CPU-scale runs (host bf16 is emulated)")
     p.add_argument(
         "--save_ckpt", type=str, default=None,
         help="write the final trained variables as a full-model .npz "
@@ -92,7 +95,7 @@ def main() -> None:
     ).normalize()
     model = get_model(
         cfg.model, cfg.input_size, cfg.reduction, cfg.bins, cfg.bin_anchors,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     trainer = Trainer(cfg, model, make_loss_fn(cfg))
 
