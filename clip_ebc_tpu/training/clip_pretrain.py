@@ -46,6 +46,14 @@ class PretrainConfig:
     warmup_steps: int = 100
     seed: int = 0
     dtype: str = "bfloat16"
+    # Auxiliary penalty on squared off-diagonal cosines between the bin
+    # text embeddings. OpenAI-scale contrastive training produces count
+    # prompts with well-spread text features; a few hundred synthetic
+    # steps do not (measured: off-diag cos ~0.99, and the downstream
+    # frozen-text cosine head then plateaus exactly like the random-text
+    # control). This term is the synthetic stand-in for that spread;
+    # 0 disables.
+    text_spread: float = 1.0
 
 
 def _count_for_bin(rng: np.random.Generator, lo: float, hi: float) -> int:
@@ -128,16 +136,27 @@ def pretrain_clip(cfg: PretrainConfig, progress: bool = False,
         x = (batch_u8.astype(jnp.float32) / 255.0 - mean) / std
 
         def loss_fn(p):
-            logits, _ = model.apply({"params": p}, x.astype(dtype), tokens)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            img = model.apply({"params": p}, x.astype(dtype),
+                              method="encode_image").astype(jnp.float32)
+            txt = model.apply({"params": p}, tokens,
+                              method="encode_text").astype(jnp.float32)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True).clip(1e-12)
+            txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True).clip(1e-12)
+            logits = jnp.exp(p["logit_scale"]) * img @ txt.T
+            logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, batch_labels[:, None], axis=-1)
             acc = jnp.mean(
                 (jnp.argmax(logits, -1) == batch_labels).astype(jnp.float32))
-            return nll.mean(), acc
+            n = txt.shape[0]
+            cos = txt @ txt.T
+            spread = ((cos - jnp.eye(n)) ** 2).sum() / (n * (n - 1))
+            return nll.mean() + cfg.text_spread * spread, (acc, spread)
 
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (acc, spread)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, acc
+        return (optax.apply_updates(params, updates), opt_state, loss, acc,
+                spread)
 
     # whole dataset rides on device once (uint8); batches are gathers
     dev_images = jnp.asarray(images_u8)
@@ -152,16 +171,17 @@ def pretrain_clip(cfg: PretrainConfig, progress: bool = False,
         idx = jnp.asarray(
             rng.integers(0, len(labels), cfg.batch_size), jnp.int32)
         bx, by = gather(idx)
-        params, opt_state, loss, acc = step(params, opt_state, bx, by)
+        params, opt_state, loss, acc, spread = step(params, opt_state, bx, by)
         if it == 0:
             first_loss = float(loss)
         if progress and (it % 100 == 0 or it == cfg.steps - 1):
-            print(f"  step {it}: loss={float(loss):.4f} acc={float(acc):.3f}",
+            print(f"  step {it}: loss={float(loss):.4f} acc={float(acc):.3f} "
+                  f"txt_offdiag_cos2={float(spread):.4f}",
                   flush=True)
     last_loss, last_acc = float(loss), float(acc)
 
     info = {"first_loss": first_loss, "last_loss": last_loss,
-            "last_acc": last_acc}
+            "last_acc": last_acc, "text_offdiag_cos2": float(spread)}
     return {"params": params}, info
 
 

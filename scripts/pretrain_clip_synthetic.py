@@ -36,6 +36,9 @@ def main() -> None:
     p.add_argument("--dataset", type=str, default="qnrf",
                    help="bins table to draw the prompt vocabulary from")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--text_spread", type=float, default=1.0,
+                   help="weight of the off-diagonal text-cosine penalty "
+                   "(see training/clip_pretrain.PretrainConfig)")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"],
                    help="float32 for CPU-scale runs (bf16 is emulated "
@@ -57,7 +60,7 @@ def main() -> None:
         backbone=args.backbone, input_size=args.input_size, bins=tuple(bins),
         steps=args.steps, batch_size=args.batch_size,
         dataset_size=args.dataset_size, lr=args.lr, seed=args.seed,
-        dtype=args.dtype,
+        dtype=args.dtype, text_spread=args.text_spread,
     )
     print(f"rendering {cfg.dataset_size} crops at {cfg.input_size}px over "
           f"{len(bins)} count bins ...", flush=True)
