@@ -1,0 +1,170 @@
+"""Ahead-of-time export of the inference path via ``jax.export`` (StableHLO).
+
+The reference has no deployment story beyond "run the torch module in
+Python" (its eval drivers re-build the model and load a ``.pth`` each run,
+reference test_nwpu.py:55-68). On TPU the idiomatic serving artifact is a
+serialized StableHLO program: lowered once — on any host, for any target
+platform — then loaded and executed by a thin runtime with no Python model
+code, no weight files, and no tracing at serving time. This module exports
+the two inference surfaces:
+
+* ``export_window_forward`` — the fixed-shape window forward
+  ``images (B, S, S, 3) -> density (B, S/r, S/r)``; B may be symbolic so
+  one artifact serves every batch size. This is the unit a serving tier
+  scales horizontally (the sliding-window decomposition is embarrassingly
+  parallel across windows).
+* ``export_pipeline`` — the WHOLE single-image sliding-window pipeline at
+  a fixed image shape (gather -> bucketed forward -> scatter-add
+  overlap assembly, ops/sliding_window.py) as one program:
+  ``image (H, W, 3) -> density (H/r, W/r)``.
+
+Weights (and the hoisted frozen text features, for CLIP variants —
+the same hoisting as training/evaluate.Evaluator) are baked into the
+program as constants, so the ``.jaxexp`` file is fully self-contained.
+Cross-platform lowering is first-class: ``platforms=("tpu",)`` exports a
+TPU serving artifact from a CPU-only host.
+
+Serialization wraps ``jax.export.Exported.serialize()`` with a JSON
+manifest (shapes, dtypes, platforms, metadata) so a serving tier can
+validate inputs without deserializing the program.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+MANIFEST_SUFFIX = ".json"
+
+
+def _hoisted_forward(model, variables):
+    """(images) -> density closure with weights baked in; CLIP text
+    features hoisted out of the per-window program exactly as
+    training/evaluate.Evaluator does (the frozen text tower runs once at
+    export time, not per window)."""
+    if hasattr(type(model), "encode_text"):
+        text_feats = jax.jit(lambda v: model.apply(v, method="encode_text"))(
+            variables
+        )
+
+        def forward(images):
+            return model.apply(
+                variables, images, train=False, text_feats=text_feats
+            )
+
+    else:
+
+        def forward(images):
+            return model.apply(variables, images, train=False)
+
+    return forward
+
+
+def export_window_forward(
+    model,
+    variables,
+    window_size: int,
+    *,
+    batch: Optional[int] = None,
+    dtype=jnp.float32,
+    platforms: Sequence[str] = ("cpu",),
+) -> jax_export.Exported:
+    """Export ``images (B, S, S, 3) -> density (B, S/r, S/r)``.
+
+    ``batch=None`` exports a symbolic batch dimension ("b"): the one
+    artifact then serves any batch size (XLA specializes per concrete
+    shape at call time). A fixed ``batch`` pins it static.
+    """
+    forward = _hoisted_forward(model, variables)
+    if batch is None:
+        (b,) = jax_export.symbolic_shape("b")
+        shape: Tuple[Any, ...] = (b, window_size, window_size, 3)
+    else:
+        shape = (batch, window_size, window_size, 3)
+    spec = jax.ShapeDtypeStruct(shape, dtype)
+    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+
+
+def export_pipeline(
+    model,
+    variables,
+    image_shape: Tuple[int, int],
+    *,
+    window: Tuple[int, int],
+    stride: Tuple[int, int],
+    reduction: int,
+    strategy: str = "average",
+    dtype=jnp.float32,
+    platforms: Sequence[str] = ("cpu",),
+) -> jax_export.Exported:
+    """Export the full sliding-window pipeline at a fixed image shape."""
+    from .ops.sliding_window import sliding_window_predict
+
+    forward = _hoisted_forward(model, variables)
+
+    def ndim_normalized(images):
+        out = forward(images)
+        return out[..., 0] if out.ndim == 4 else out
+
+    def pipeline(image):
+        return sliding_window_predict(
+            lambda _, images: ndim_normalized(images),
+            (),  # weights live in the closure; the variables slot is unused
+            image,
+            window=window,
+            stride=stride,
+            reduction=reduction,
+            strategy=strategy,
+        )
+
+    h, w = image_shape
+    spec = jax.ShapeDtypeStruct((h, w, 3), dtype)
+    return jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(spec)
+
+
+def save_exported(
+    exp: jax_export.Exported, path: str, meta: Optional[Dict[str, Any]] = None
+) -> str:
+    """Write ``path`` (serialized program) + ``path.json`` (manifest).
+
+    The manifest carries everything a serving tier needs to validate a
+    request without deserializing the program.
+    """
+    data = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
+    manifest = {
+        "format": "jax.export.Exported",
+        "fn_name": exp.fun_name,
+        "platforms": list(exp.platforms),
+        "calling_convention_version": exp.calling_convention_version,
+        "nr_devices": exp.nr_devices,
+        "in_avals": [str(a) for a in exp.in_avals],
+        "out_avals": [str(a) for a in exp.out_avals],
+        "bytes": len(data),
+        "meta": meta or {},
+    }
+    with open(path + MANIFEST_SUFFIX, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return path
+
+
+def load_exported(path: str):
+    """Deserialize ``path`` -> (callable, manifest dict).
+
+    The callable is the exported program's ``.call`` — jit-compatible and
+    composable (it can be called inside larger jitted programs).
+    """
+    with open(path, "rb") as f:
+        exp = jax_export.deserialize(f.read())
+    manifest = {}
+    if os.path.exists(path + MANIFEST_SUFFIX):
+        with open(path + MANIFEST_SUFFIX) as f:
+            manifest = json.load(f)
+    return exp.call, manifest

@@ -33,6 +33,13 @@ def main() -> None:
     p.add_argument("--num_vpt", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument(
+        "--T_0", type=int, default=5,
+        help="cosine warm-restart period (reference trainer.py default 5); "
+        "set T_0=epochs-warmup with --T_mult 1 for a single decay cycle "
+        "so the run ends at eta_min instead of mid-restart",
+    )
+    p.add_argument("--T_mult", type=int, default=2)
     p.add_argument("--eval_freq", type=int, default=5)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument(
@@ -90,6 +97,7 @@ def main() -> None:
         reduction=8, truncation=4, count_loss=args.count_loss,
         batch_size=args.batch_size, num_crops=1, lr=args.lr,
         warmup_epochs=args.warmup_epochs, warmup_lr=1e-5,
+        T_0=args.T_0, T_mult=args.T_mult,
         weight_decay=1e-4, amp=True, num_vpt=args.num_vpt,
         data_root=data_dir,
     ).normalize()

@@ -1,0 +1,178 @@
+"""Serving-export tests: jax.export round-trips of the inference surfaces.
+
+The reference has no export/serving artifact at all (its eval drivers
+rebuild the torch module per run, reference test_nwpu.py:55-68); these
+tests pin the TPU-native replacement: serialized StableHLO programs that
+reload and reproduce the live model's outputs (to float-reassociation
+noise) on the same platform, including the whole sliding-window pipeline and cross-platform
+(tpu-target) lowering from this CPU-only host.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clip_ebc_tpu.export import (
+    export_pipeline,
+    export_window_forward,
+    load_exported,
+    save_exported,
+)
+from clip_ebc_tpu.models import get_model
+
+BINS = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, float("inf"))]
+ANCHORS = [0.0, 1.0, 2.0, 3.0, 4.41]
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = get_model("vgg11_ae", 64, 8, BINS, ANCHORS, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    return model, variables
+
+
+def test_window_export_roundtrip(tiny_model, tmp_path):
+    model, variables = tiny_model
+    exp = export_window_forward(model, variables, 64, batch=2)
+    path = str(tmp_path / "win.jaxexp")
+    save_exported(exp, path, {"model": "vgg11_ae"})
+    call, manifest = load_exported(path)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
+    direct = model.apply(variables, x, train=False)
+    served = call(x)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(served), rtol=1e-5, atol=1e-6
+    )
+    assert manifest["platforms"] == ["cpu"]
+    assert manifest["meta"]["model"] == "vgg11_ae"
+    assert manifest["bytes"] == os.path.getsize(path)
+
+
+def test_window_export_symbolic_batch(tiny_model, tmp_path):
+    model, variables = tiny_model
+    exp = export_window_forward(model, variables, 64, batch=None)
+    path = str(tmp_path / "win_sym.jaxexp")
+    save_exported(exp, path)
+    call, manifest = load_exported(path)
+    assert "b," in manifest["in_avals"][0]  # symbolic leading dim survived
+
+    rng = np.random.default_rng(1)
+    for b in (1, 3):
+        x = jnp.asarray(rng.normal(size=(b, 64, 64, 3)), jnp.float32)
+        direct = model.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(direct), np.asarray(call(x)), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pipeline_export_matches_live_pipeline(tiny_model, tmp_path):
+    from clip_ebc_tpu.ops.sliding_window import sliding_window_predict
+
+    model, variables = tiny_model
+    h, w = 96, 128  # non-multiple of the window: exercises edge clamping
+    exp = export_pipeline(
+        model, variables, (h, w), window=(64, 64), stride=(32, 32), reduction=8
+    )
+    path = str(tmp_path / "pipe.jaxexp")
+    save_exported(exp, path)
+    call, _ = load_exported(path)
+
+    image = jnp.asarray(
+        np.random.default_rng(2).normal(size=(h, w, 3)), jnp.float32
+    )
+
+    def apply_fn(v, windows):
+        out = model.apply(v, windows, train=False)
+        return out[..., 0] if out.ndim == 4 else out
+
+    live = sliding_window_predict(
+        apply_fn, variables, image, window=(64, 64), stride=(32, 32), reduction=8
+    )
+    served = call(image)
+    assert served.shape == (h // 8, w // 8)
+    np.testing.assert_allclose(
+        np.asarray(live), np.asarray(served), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_text_hoisting_via_encode_text_module(tmp_path):
+    """A model exposing encode_text gets its text tower run ONCE at export
+    time and baked in: the exported program must contain no token inputs
+    and still match the live text_feats forward."""
+    import flax.linen as nn
+
+    class TinyCos(nn.Module):
+        feat: int = 8
+        n_bins: int = 5
+
+        def setup(self):
+            self.proj = nn.Dense(self.feat)
+            self.text = nn.Embed(self.n_bins, self.feat)
+
+        def encode_text(self):
+            t = self.text(jnp.arange(self.n_bins))
+            return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+        def __call__(self, x, train=False, text_feats=None):
+            if text_feats is None:
+                text_feats = self.encode_text()
+            v = self.proj(x.mean(axis=(1, 2)))
+            v = v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-6)
+            return v @ text_feats.T
+
+    model = TinyCos()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 3)))
+    exp = export_window_forward(model, variables, 4, batch=2)
+    path = str(tmp_path / "cos.jaxexp")
+    save_exported(exp, path)
+    call, _ = load_exported(path)
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 4, 4, 3)), jnp.float32)
+    tf = model.apply(variables, method="encode_text")
+    direct = model.apply(variables, x, text_feats=tf)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(call(x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_tpu_platform_export_from_cpu_host(tiny_model, tmp_path):
+    """Cross-platform lowering: a TPU serving artifact serializes on this
+    CPU-only host (execution is impossible here; loading must still work
+    and calling must fail with a platform error, not silently run)."""
+    model, variables = tiny_model
+    exp = export_window_forward(
+        model, variables, 64, batch=1, platforms=("tpu",)
+    )
+    path = str(tmp_path / "tpu.jaxexp")
+    save_exported(exp, path)
+    call, manifest = load_exported(path)
+    assert manifest["platforms"] == ["tpu"]
+    with pytest.raises(Exception, match="(?i)platform|tpu"):
+        call(jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+
+def test_export_cli_end_to_end(tmp_path):
+    from clip_ebc_tpu.cli.export_model import main
+
+    out = str(tmp_path / "cli_win.jaxexp")
+    main([
+        "--model", "vgg11_ae", "--input_size", "64", "--reduction", "8",
+        "--truncation", "4", "--bins_dataset", "shb", "--batch", "2",
+        "--random_init", "--out", out,
+    ])
+    assert os.path.exists(out)
+    with open(out + ".json") as f:
+        manifest = json.load(f)
+    assert manifest["meta"]["mode"] == "window"
+    call, _ = load_exported(out)
+    y = call(jnp.zeros((2, 64, 64, 3), jnp.float32))
+    assert np.asarray(y).shape[0] == 2
