@@ -54,7 +54,12 @@ def main():
     from __graft_entry__ import _flagship
     from clip_ebc_tpu.ops.sliding_window import sliding_window_predict, window_grid
 
-    H, W, WIN, STRIDE, RED = 2048, 3072, 224, 224, 8
+    # LEDGER_H/LEDGER_W shrink the image for CPU smoke runs (the per-stage
+    # jit programs are shape-generic; only the windows-per-image scaling
+    # changes)
+    H = int(os.environ.get("LEDGER_H", "2048"))
+    W = int(os.environ.get("LEDGER_W", "3072"))
+    WIN, STRIDE, RED = 224, 224, 8
     model, _ = _flagship(
         dtype=jnp.bfloat16, quant_int8=quant,
         quant_mode="static" if quant_env == "int8_static" else "dynamic",
