@@ -39,7 +39,35 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from .utils.platform import target_platform_override
+
 MANIFEST_SUFFIX = ".json"
+
+
+def _export_for(platforms: Sequence[str]):
+    """Export under a pinned target platform when there is exactly one,
+    so platform-keyed lowering gates (Pallas fused attention, fused eval
+    head — see utils/platform.py) follow the ARTIFACT's platform, not the
+    build host's. Multi-platform exports keep the host-neutral paths
+    (one program must serve them all)."""
+
+    def run(fn, spec):
+        # fresh function object per export: jit's trace cache is keyed on
+        # the function identity, so exporting the SAME fn for a second
+        # platform would silently reuse the first platform's trace — and
+        # with it the first platform's gate decisions (e.g. a Pallas
+        # kernel baked into a cpu lowering).
+        def traced(*args):
+            return fn(*args)
+
+        if len(platforms) == 1:
+            with target_platform_override(platforms[0]):
+                return jax_export.export(
+                    jax.jit(traced), platforms=tuple(platforms)
+                )(spec)
+        return jax_export.export(jax.jit(traced), platforms=tuple(platforms))(spec)
+
+    return run
 
 
 def _hoisted_forward(model, variables):
@@ -87,7 +115,7 @@ def export_window_forward(
     else:
         shape = (batch, window_size, window_size, 3)
     spec = jax.ShapeDtypeStruct(shape, dtype)
-    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+    return _export_for(platforms)(forward, spec)
 
 
 def export_pipeline(
@@ -124,7 +152,7 @@ def export_pipeline(
 
     h, w = image_shape
     spec = jax.ShapeDtypeStruct((h, w, 3), dtype)
-    return jax_export.export(jax.jit(pipeline), platforms=tuple(platforms))(spec)
+    return _export_for(platforms)(pipeline, spec)
 
 
 def save_exported(

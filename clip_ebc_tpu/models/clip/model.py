@@ -114,9 +114,9 @@ class ClipEBC(nn.Module):
             return True
         if self.fused_head == "off":
             return False
-        import jax
+        from ...utils.platform import target_platform
 
-        return jax.default_backend() == "tpu"
+        return target_platform() == "tpu"
 
     @property
     def encoder_reduction(self) -> int:

@@ -38,9 +38,9 @@ def use_fused_qkv(backend: str) -> bool:
     if backend == "fused":
         return True
     if backend == "auto":
-        import jax
+        from ..utils.platform import target_platform
 
-        return jax.default_backend() == "tpu"
+        return target_platform() == "tpu"
     return False
 
 
@@ -55,9 +55,9 @@ def resolve_attn_impl(backend: str):
 
         return flash_sdpa
     if backend == "auto":
-        import jax
+        from ..utils.platform import target_platform
 
-        if jax.default_backend() != "tpu":
+        if target_platform() != "tpu":
             return sdpa_attention
         from ..ops.flash_attention import flash_sdpa
 

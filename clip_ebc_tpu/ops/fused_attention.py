@@ -49,6 +49,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.platform import target_platform
 from jax.experimental import pallas as pl
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -389,7 +391,7 @@ def fused_qkv_attention(
         or _round_up(qkv.shape[1], 128) > MAX_FUSED_SEQ
     ):
         return _reference(qkv, num_heads, kv_len, sm_scale)
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret or target_platform() != "tpu"
     if qkv.dtype == jnp.float32:  # fp32 doubles VMEM; halve the block
         block_b = max(1, block_b // 2)
     return _forward(qkv, num_heads, kv_len, sm_scale, block_b, interpret)
@@ -408,7 +410,7 @@ def _bwd(num_heads, kv_len, sm_scale, block_b, interpret, qkv, g):
             lambda x: _reference(x, num_heads, kv_len, sm_scale), qkv
         )
         return vjp(g)
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret or target_platform() != "tpu"
     # the bwd body holds ~2.5x the fwd working set (scores + dP + dS)
     bb = 1 if qkv.dtype == jnp.float32 else max(1, block_b // 2)
     return (
@@ -650,7 +652,7 @@ def fused_ln_qkv_attention(
             x, ln_scale, ln_bias, w.astype(jnp.float32), ones,
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
         )
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret or target_platform() != "tpu"
     if x.dtype == jnp.float32:  # fp32 weights + qkv exceed VMEM at block 2
         block_b = 1
     return _ln_qkv_forward(
@@ -670,7 +672,7 @@ def _lqa_bwd(
 ):
     x, ln_scale, ln_bias, w, bias = res
     fits = _round_up(x.shape[1], 128) <= MAX_FUSED_SEQ
-    interpret_ = interpret or jax.default_backend() != "tpu"
+    interpret_ = interpret or target_platform() != "tpu"
     # fp32 on a real chip: the kernel's working set (x/g/dx + W + qkv and
     # d_qkv scratch + score tiles, all doubled) exceeds the ~16 MB VMEM
     # budget even at block_b=1 — take the split path instead. Interpret
@@ -789,7 +791,7 @@ def fused_ln_mlp_int8(
     wpj_q = jnp.clip(jnp.round(wpj / s_pj), -127, 127).astype(jnp.int8)
     act1 = jnp.asarray(act1, jnp.float32).reshape(())
     act2 = jnp.asarray(act2, jnp.float32).reshape(())
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret or target_platform() != "tpu"
 
     b, l, d = x.shape
     hidden = w_fc.shape[1]
@@ -865,7 +867,7 @@ def fused_ln_qkv_attention_int8(
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
         )
     act_scale = jnp.asarray(act_scale, jnp.float32).reshape(())
-    interpret = interpret or jax.default_backend() != "tpu"
+    interpret = interpret or target_platform() != "tpu"
     if x.dtype == jnp.float32:
         block_b = 1
     sw = s_col * act_scale  # (3D,) dequant of the int32 qkv accumulator

@@ -160,6 +160,64 @@ def test_tpu_platform_export_from_cpu_host(tiny_model, tmp_path):
         call(jnp.zeros((1, 64, 64, 3), jnp.float32))
 
 
+def test_target_platform_override_gates():
+    """Platform-keyed lowering gates follow the export target, not the
+    build host: under a pinned "tpu" target the fused-attention and
+    fused-head gates flip on even though this host is CPU (so a TPU
+    serving artifact exported here ships the Mosaic kernels — verified
+    end-to-end off-suite: the flagship tpu-platform export contains
+    tpu_custom_call)."""
+    from clip_ebc_tpu.models.transformer import use_fused_qkv
+    from clip_ebc_tpu.utils.platform import (
+        target_platform,
+        target_platform_override,
+    )
+
+    assert target_platform() == "cpu"
+    assert not use_fused_qkv("auto")
+    with target_platform_override("tpu"):
+        assert target_platform() == "tpu"
+        assert use_fused_qkv("auto")
+        with target_platform_override("cpu"):  # reentrant
+            assert target_platform() == "cpu"
+        assert target_platform() == "tpu"
+    assert target_platform() == "cpu"
+
+
+def test_tpu_export_embeds_mosaic_kernel(tmp_path):
+    """A single-platform tpu export of a module whose auto gate picks the
+    Pallas fused path must contain the Mosaic custom call."""
+    import flax.linen as nn
+
+    from clip_ebc_tpu.models.transformer import (
+        ResidualAttentionBlock,
+        use_fused_qkv,
+    )
+
+    class Blockish(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            # the gate is evaluated HERE (trace time), exactly as
+            # ClipEBC.setup does — so it follows the export override
+            return ResidualAttentionBlock(
+                num_heads=4, fused_qkv=use_fused_qkv("auto"), name="blk"
+            )(x)
+
+    model = Blockish()
+    x0 = jnp.zeros((2, 128, 256), jnp.float32)  # dh=64, even heads
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    def fwd(x):
+        return model.apply(variables, x)
+
+    from clip_ebc_tpu.export import _export_for
+
+    exp_tpu = _export_for(("tpu",))(fwd, jax.ShapeDtypeStruct(x0.shape, x0.dtype))
+    exp_cpu = _export_for(("cpu",))(fwd, jax.ShapeDtypeStruct(x0.shape, x0.dtype))
+    assert "tpu_custom_call" in exp_tpu.mlir_module()
+    assert "tpu_custom_call" not in exp_cpu.mlir_module()
+
+
 def test_export_cli_end_to_end(tmp_path):
     from clip_ebc_tpu.cli.export_model import main
 
