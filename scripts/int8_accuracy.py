@@ -24,6 +24,12 @@ def main() -> None:
     p.add_argument("--window", type=int, default=224)
     p.add_argument("--stride", type=int, default=224)
     p.add_argument(
+        "--sizes", type=str, default="448x672,896x1344",
+        help="comma-separated HxW scene sizes for the sweep; smaller "
+        "sizes (e.g. 224x448) make the int8-emulated CPU run tractable "
+        "when no chip is reachable — the int8-vs-bf16 count delta is "
+        "what's measured, and it is shape-local")
+    p.add_argument(
         "--ckpt", type=str, default=None,
         help="full-model .npz from scripts/convergence_run.py --save_ckpt: "
         "run the sweep on TRAINED weights instead of random init "
@@ -51,11 +57,12 @@ def main() -> None:
         img, pts = render_crowd_scene(rng, size=size, count=count)
         return normalize_image(img.astype(np.float32) / 255.0), len(pts)
 
+    sizes = [tuple(int(v) for v in sz.split("x")) for sz in args.sizes.split(",")]
     # size/density sweep: small/large scenes x sparse/medium/dense
     sweep = []
-    for size in [(448, 672), (896, 1344)]:
+    for size in sizes:
         for count in (5, 60, 300):
-            for _ in range(args.n_eval // 6):
+            for _ in range(max(args.n_eval // (3 * len(sizes)), 1)):
                 sweep.append(norm_scene(size, count))
 
     qa_env = os.environ.get("INT8_QUANT_ATTN", "0")
@@ -95,7 +102,7 @@ def main() -> None:
     # cli/test_nwpu + cli/predict run with --quant int8_static)
     calib_batches = []
     for _ in range(args.n_calib):
-        img, _ = norm_scene((448, 672), int(rng.integers(5, 300)))
+        img, _ = norm_scene(sizes[0], int(rng.integers(5, 300)))
         coords = window_grid(img.shape[:2], (args.window,) * 2, (args.window,) * 2)
         calib_batches.append(
             np.stack([img[y : y + args.window, x : x + args.window] for y, x in coords])
@@ -131,6 +138,8 @@ def main() -> None:
     rel = np.abs(c_int8 - c_bf16) / np.maximum(np.abs(c_bf16), 1.0)
     result = {
         "n_images": len(sweep),
+        "sizes": args.sizes,
+        "window": args.window,
         "weights": weights,
         "quant_attn": q_attn,
         "bf16": e_bf16,
