@@ -234,3 +234,22 @@ def test_export_cli_end_to_end(tmp_path):
     call, _ = load_exported(out)
     y = call(jnp.zeros((2, 64, 64, 3), jnp.float32))
     assert np.asarray(y).shape[0] == 2
+
+
+def test_export_cli_pipeline_mode(tmp_path):
+    from clip_ebc_tpu.cli.export_model import main
+
+    out = str(tmp_path / "cli_pipe.jaxexp")
+    main([
+        "--model", "vgg11_ae", "--input_size", "64", "--reduction", "8",
+        "--truncation", "4", "--bins_dataset", "shb", "--mode", "pipeline",
+        "--image_h", "96", "--image_w", "128", "--window_size", "64",
+        "--stride", "32", "--random_init", "--out", out,
+    ])
+    with open(out + ".json") as f:
+        manifest = json.load(f)
+    assert manifest["meta"]["mode"] == "pipeline"
+    assert manifest["meta"]["image_shape"] == [96, 128]
+    call, _ = load_exported(out)
+    y = call(jnp.zeros((96, 128, 3), jnp.float32))
+    assert np.asarray(y).shape == (12, 16)
