@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride", type=int, default=None)
     p.add_argument("--strategy", type=str, default="average",
                    choices=["average", "max"])
+    p.add_argument("--shard_devices", type=int, default=0,
+                   help="pipeline mode only: export a pod-sharded program "
+                   "over a 1-D data mesh of this many devices (the window "
+                   "batch is partitioned exactly as the live mesh-mode "
+                   "pipeline); the artifact must then be served on that "
+                   "many devices. 0 = single-device program")
     p.add_argument("--platforms", type=str, default="cpu",
                    help="comma-separated lowering targets (cpu,tpu); a tpu "
                    "artifact can be exported from a CPU-only host")
@@ -116,13 +122,26 @@ def main(argv=None) -> None:
             batch=args.batch or None, dtype=dtype, platforms=platforms,
         )
     else:
+        mesh = None
+        if args.shard_devices:
+            from ..parallel.mesh import make_mesh
+
+            devs = jax.devices()
+            if len(devs) < args.shard_devices:
+                raise SystemExit(
+                    f"--shard_devices {args.shard_devices} > visible devices "
+                    f"{len(devs)} (set XLA_FLAGS="
+                    "--xla_force_host_platform_device_count=N to lower a "
+                    "pod-sharded artifact on a small host)")
+            mesh = make_mesh(devices=devs[: args.shard_devices])
         meta.update(image_shape=[args.image_h, args.image_w],
-                    window=window, stride=stride, strategy=args.strategy)
+                    window=window, stride=stride, strategy=args.strategy,
+                    shard_devices=args.shard_devices)
         exp = export_pipeline(
             model, variables, (args.image_h, args.image_w),
             window=(window, window), stride=(stride, stride),
             reduction=args.reduction, strategy=args.strategy,
-            dtype=dtype, platforms=platforms,
+            dtype=dtype, platforms=platforms, mesh=mesh,
         )
     save_exported(exp, args.out, meta)
     print(f"exported {args.mode} program -> {args.out} "

@@ -51,7 +51,7 @@ def _export_for(platforms: Sequence[str]):
     build host's. Multi-platform exports keep the host-neutral paths
     (one program must serve them all)."""
 
-    def run(fn, spec):
+    def run(fn, spec, jit_kwargs=None):
         # fresh function object per export: jit's trace cache is keyed on
         # the function identity, so exporting the SAME fn for a second
         # platform would silently reuse the first platform's trace — and
@@ -60,12 +60,11 @@ def _export_for(platforms: Sequence[str]):
         def traced(*args):
             return fn(*args)
 
+        jitted = jax.jit(traced, **(jit_kwargs or {}))
         if len(platforms) == 1:
             with target_platform_override(platforms[0]):
-                return jax_export.export(
-                    jax.jit(traced), platforms=tuple(platforms)
-                )(spec)
-        return jax_export.export(jax.jit(traced), platforms=tuple(platforms))(spec)
+                return jax_export.export(jitted, platforms=tuple(platforms))(spec)
+        return jax_export.export(jitted, platforms=tuple(platforms))(spec)
 
     return run
 
@@ -129,8 +128,16 @@ def export_pipeline(
     strategy: str = "average",
     dtype=jnp.float32,
     platforms: Sequence[str] = ("cpu",),
+    mesh=None,
 ) -> jax_export.Exported:
-    """Export the full sliding-window pipeline at a fixed image shape."""
+    """Export the full sliding-window pipeline at a fixed image shape.
+
+    With ``mesh`` the exported program is pod-sharded: the window batch is
+    partitioned over the mesh's ``data`` axis exactly as the live
+    mesh-mode pipeline (ops/sliding_window.py), the input image is
+    replicated, and the artifact records ``nr_devices = mesh.size`` — it
+    must be served on that many devices (jax.export replays the recorded
+    GSPMD partitioning on the caller's mesh)."""
     from .ops.sliding_window import sliding_window_predict
 
     forward = _hoisted_forward(model, variables)
@@ -148,11 +155,23 @@ def export_pipeline(
             stride=stride,
             reduction=reduction,
             strategy=strategy,
+            mesh=mesh,
         )
 
     h, w = image_shape
     spec = jax.ShapeDtypeStruct((h, w, 3), dtype)
-    return _export_for(platforms)(pipeline, spec)
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # Pin the input replicated over the mesh so the export records the
+        # device assignment (nr_devices) even before the first internal
+        # sharding constraint.
+        jit_kwargs = {
+            "in_shardings": NamedSharding(mesh, PartitionSpec()),
+            "out_shardings": NamedSharding(mesh, PartitionSpec()),
+        }
+    return _export_for(platforms)(pipeline, spec, jit_kwargs=jit_kwargs)
 
 
 def save_exported(

@@ -218,6 +218,77 @@ def test_tpu_export_embeds_mosaic_kernel(tmp_path):
     assert "tpu_custom_call" not in exp_cpu.mlir_module()
 
 
+def test_pod_sharded_pipeline_export(tiny_model, tmp_path):
+    """A mesh-sharded pipeline export records nr_devices=8, partitions the
+    window batch over the data axis (the live mesh-mode decomposition),
+    and reproduces the single-device program's output when served on the
+    same-size mesh."""
+    from clip_ebc_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_model
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    h, w = 96, 128
+    kw = dict(window=(64, 64), stride=(32, 32), reduction=8)
+    exp = export_pipeline(model, variables, (h, w), **kw, mesh=mesh)
+    assert exp.nr_devices == 8
+    path = str(tmp_path / "pod.jaxexp")
+    save_exported(exp, path, {"shard_devices": 8})
+    call, manifest = load_exported(path)
+    assert manifest["nr_devices"] == 8
+
+    image = jnp.asarray(
+        np.random.default_rng(4).normal(size=(h, w, 3)), jnp.float32
+    )
+    exp1 = export_pipeline(model, variables, (h, w), **kw)  # single-device
+    single = exp1.call(image)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    served = jax.jit(call, in_shardings=rep, out_shardings=rep)(image)
+    assert served.shape == (h // 8, w // 8)
+    np.testing.assert_allclose(
+        np.asarray(single), np.asarray(served), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_pod_sharded_export_rejects_wrong_device_count(tiny_model, tmp_path):
+    """Serving a pod artifact on the wrong device count must fail loudly
+    (jax.export enforces the recorded nr_devices), not silently run."""
+    from clip_ebc_tpu.parallel.mesh import make_mesh
+
+    model, variables = tiny_model
+    mesh = make_mesh(devices=jax.devices()[:4])
+    exp = export_pipeline(
+        model, variables, (64, 64), window=(64, 64), stride=(64, 64),
+        reduction=8, mesh=mesh,
+    )
+    assert exp.nr_devices == 4
+    path = str(tmp_path / "pod4.jaxexp")
+    save_exported(exp, path)
+    call, _ = load_exported(path)
+    with pytest.raises(Exception, match="4 devices"):
+        call(jnp.zeros((64, 64, 3), jnp.float32))  # 1-device context
+
+
+def test_export_cli_pod_sharded(tmp_path):
+    from clip_ebc_tpu.cli.export_model import main
+
+    out = str(tmp_path / "cli_pod.jaxexp")
+    main([
+        "--model", "vgg11_ae", "--input_size", "64", "--reduction", "8",
+        "--truncation", "4", "--bins_dataset", "shb", "--mode", "pipeline",
+        "--image_h", "96", "--image_w", "128", "--window_size", "64",
+        "--stride", "32", "--random_init", "--shard_devices", "8",
+        "--out", out,
+    ])
+    with open(out + ".json") as f:
+        manifest = json.load(f)
+    assert manifest["meta"]["shard_devices"] == 8
+    assert manifest["nr_devices"] == 8
+
+
 def test_export_cli_end_to_end(tmp_path):
     from clip_ebc_tpu.cli.export_model import main
 
