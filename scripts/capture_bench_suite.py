@@ -7,8 +7,10 @@ flushed to --out after EVERY mode, and already-captured modes are skipped
 on re-run — so repeated invocations converge on a full table even if the
 relay dies between modes.
 
-Usage (real chip):
-    PYTHONPATH=/root/repo python scripts/capture_bench_suite.py \
+Usage (real chip) — /root/.axon_site MUST stay on PYTHONPATH (its
+sitecustomize registers the axon TPU backend; dropping it makes every
+mode die with "Backend 'axon' is not in the list of known backends"):
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/capture_bench_suite.py \
         --out BENCH_SUITE_r04.json
 """
 
