@@ -30,6 +30,7 @@ CLIP_BACKBONES = (
     "vit_b_16",
     "vit_b_32",
     "vit_l_14",
+    "vit_l_14_336px",
 )
 
 _VGG_NAMES = tuple(

@@ -22,6 +22,23 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+AXON_SITE = "/root/.axon_site"
+
+
+def build_pythonpath(current):
+    """Child PYTHONPATH with the repo AND the axon site enforced in code.
+
+    r4 lost three A/B modes to a caller-side PYTHONPATH that dropped
+    /root/.axon_site (its sitecustomize registers the axon TPU backend);
+    the modes were committed as error entries. Enforce it here instead of
+    relying on the usage string (ADVICE r4).
+    """
+    parts = [p for p in (current or "").split(os.pathsep) if p]
+    if os.path.isdir(AXON_SITE) and AXON_SITE not in parts:
+        parts.insert(0, AXON_SITE)
+    if REPO not in parts:
+        parts.append(REPO)
+    return os.pathsep.join(parts)
 
 # (name, env overrides). Ordered by headline importance so a short relay
 # window captures the most load-bearing numbers first.
@@ -86,7 +103,7 @@ def main():
         env = dict(os.environ)
         env.update(env_over)
         env["BENCH_INNER"] = "1"  # bypass bench.py's own orchestrator
-        env.setdefault("PYTHONPATH", REPO)
+        env["PYTHONPATH"] = build_pythonpath(env.get("PYTHONPATH"))
         t0 = time.time()
         print(f"[run ] {name} ...", flush=True)
         try:
@@ -101,6 +118,17 @@ def main():
         except subprocess.TimeoutExpired:
             parsed = {"error": f"timeout after {args.timeout:.0f}s"}
         parsed["wall_s"] = round(time.time() - t0, 1)
+        # Per-mode capture metadata so cross-mode comparisons within one
+        # artifact can be audited for same-window apples-to-apples
+        # (ADVICE r4): entries captured under different relay sessions or
+        # environments are distinguishable.
+        parsed["captured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        parsed["capture_env"] = {
+            "pythonpath": env["PYTHONPATH"],
+            "jax_platforms": env.get("JAX_PLATFORMS", ""),
+            "suite_pid": os.getpid(),
+        }
         results[name] = parsed
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)

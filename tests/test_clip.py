@@ -192,3 +192,17 @@ def test_decoder_before_upsample_variant():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=True)
     out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
     assert out.shape == (1, 4, 4)  # same output grid as the reference ordering
+
+
+def test_clip_vit_l_14_336px_builds_and_runs():
+    """Reference supports ViT-L/14@336px (reference models/clip/__init__.py:27);
+    all downstream configs existed — this guards the factory whitelist."""
+    model = get_model(
+        "clip_vit_l_14_336px", input_size=28, reduction=14, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=2,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)), train=True)
+    # ViT-L: 24 layers, width 1024, patch 14
+    assert variables["params"]["image_encoder"]["vpt"].shape == (24, 2, 1024)
+    out = model.apply(variables, jnp.zeros((1, 28, 28, 3)), train=False)
+    assert out.shape == (1, 2, 2)
