@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", type=str, default="cpu",
                    help="comma-separated lowering targets (cpu,tpu); a tpu "
                    "artifact can be exported from a CPU-only host")
+    p.add_argument("--no_bake_weights", action="store_true",
+                   help="export weights as call-time arguments (sidecar "
+                        ".weights.npz) instead of embedded constants: "
+                        "small program, weight hot-swap, RPC-safe "
+                        "compile payloads")
     p.add_argument("--out", type=str, required=True,
                    help="output path for the serialized program; a JSON "
                    "manifest is written alongside as <out>.json")
@@ -116,10 +121,14 @@ def main(argv=None) -> None:
         "weight_path": args.weight_path, "pretrained": args.pretrained,
         "dtype": "bfloat16" if args.amp else "float32",
     }
+    bake = not args.no_bake_weights
+    meta["bake_weights"] = bake
+    weights = None
     if args.mode == "window":
         exp = export_window_forward(
             model, variables, window,
             batch=args.batch or None, dtype=dtype, platforms=platforms,
+            bake_weights=bake,
         )
     else:
         mesh = None
@@ -142,8 +151,11 @@ def main(argv=None) -> None:
             window=(window, window), stride=(stride, stride),
             reduction=args.reduction, strategy=args.strategy,
             dtype=dtype, platforms=platforms, mesh=mesh,
+            bake_weights=bake,
         )
-    save_exported(exp, args.out, meta)
+    if not bake:
+        exp, weights = exp
+    save_exported(exp, args.out, meta, weights=weights)
     print(f"exported {args.mode} program -> {args.out} "
           f"(platforms={','.join(platforms)}; manifest {args.out}.json)")
 

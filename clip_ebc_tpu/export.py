@@ -60,11 +60,12 @@ def _export_for(platforms: Sequence[str]):
         def traced(*args):
             return fn(*args)
 
+        specs = spec if isinstance(spec, tuple) else (spec,)
         jitted = jax.jit(traced, **(jit_kwargs or {}))
         if len(platforms) == 1:
             with target_platform_override(platforms[0]):
-                return jax_export.export(jitted, platforms=tuple(platforms))(spec)
-        return jax_export.export(jitted, platforms=tuple(platforms))(spec)
+                return jax_export.export(jitted, platforms=tuple(platforms))(*specs)
+        return jax_export.export(jitted, platforms=tuple(platforms))(*specs)
 
     return run
 
@@ -92,6 +93,45 @@ def _hoisted_forward(model, variables):
     return forward
 
 
+def _unbaked_forward(model, variables):
+    """Weights-as-arguments variant of :func:`_hoisted_forward`.
+
+    Returns ``(forward(*leaves, images), leaves)`` where ``leaves`` is the
+    flat list of weight arrays (model variables + the hoisted frozen text
+    features for CLIP variants). The exported program then takes the
+    weights at CALL time instead of baking them in as constants, which
+
+    * keeps the serialized program small (KBs of StableHLO instead of the
+      full parameter set),
+    * allows weight hot-swap on a serving tier without re-export, and
+    * keeps the compile payload tiny on RPC-fronted device runtimes that
+      cap request sizes (constants ship with the program; arguments ship
+      once as device buffers).
+    """
+    bundle: Dict[str, Any] = {"variables": variables}
+    has_text = hasattr(type(model), "encode_text")
+    if has_text:
+        bundle["text_feats"] = jax.jit(
+            lambda v: model.apply(v, method="encode_text")
+        )(variables)
+    leaves, treedef = jax.tree_util.tree_flatten(bundle)
+
+    def forward(*args):
+        *ws, images = args
+        b = jax.tree_util.tree_unflatten(treedef, list(ws))
+        if has_text:
+            return model.apply(
+                b["variables"], images, train=False, text_feats=b["text_feats"]
+            )
+        return model.apply(b["variables"], images, train=False)
+
+    return forward, leaves
+
+
+def _weight_specs(leaves) -> Tuple[Any, ...]:
+    return tuple(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves)
+
+
 def export_window_forward(
     model,
     variables,
@@ -100,21 +140,31 @@ def export_window_forward(
     batch: Optional[int] = None,
     dtype=jnp.float32,
     platforms: Sequence[str] = ("cpu",),
-) -> jax_export.Exported:
+    bake_weights: bool = True,
+):
     """Export ``images (B, S, S, 3) -> density (B, S/r, S/r)``.
 
     ``batch=None`` exports a symbolic batch dimension ("b"): the one
     artifact then serves any batch size (XLA specializes per concrete
     shape at call time). A fixed ``batch`` pins it static.
+
+    ``bake_weights=False`` exports the program with the weights (and
+    hoisted text features) as leading call arguments instead of embedded
+    constants, and returns ``(exported, weight_leaves)`` — pass the leaves
+    to :func:`save_exported` so they land in the ``.weights.npz`` sidecar.
     """
-    forward = _hoisted_forward(model, variables)
     if batch is None:
         (b,) = jax_export.symbolic_shape("b")
         shape: Tuple[Any, ...] = (b, window_size, window_size, 3)
     else:
         shape = (batch, window_size, window_size, 3)
-    spec = jax.ShapeDtypeStruct(shape, dtype)
-    return _export_for(platforms)(forward, spec)
+    img_spec = jax.ShapeDtypeStruct(shape, dtype)
+    if bake_weights:
+        forward = _hoisted_forward(model, variables)
+        return _export_for(platforms)(forward, img_spec)
+    forward, leaves = _unbaked_forward(model, variables)
+    exp = _export_for(platforms)(forward, _weight_specs(leaves) + (img_spec,))
+    return exp, leaves
 
 
 def export_pipeline(
@@ -129,7 +179,8 @@ def export_pipeline(
     dtype=jnp.float32,
     platforms: Sequence[str] = ("cpu",),
     mesh=None,
-) -> jax_export.Exported:
+    bake_weights: bool = True,
+):
     """Export the full sliding-window pipeline at a fixed image shape.
 
     With ``mesh`` the exported program is pod-sharded: the window batch is
@@ -137,29 +188,33 @@ def export_pipeline(
     mesh-mode pipeline (ops/sliding_window.py), the input image is
     replicated, and the artifact records ``nr_devices = mesh.size`` — it
     must be served on that many devices (jax.export replays the recorded
-    GSPMD partitioning on the caller's mesh)."""
+    GSPMD partitioning on the caller's mesh).
+
+    ``bake_weights=False`` as in :func:`export_window_forward` (returns
+    ``(exported, weight_leaves)``; the image is the LAST argument)."""
     from .ops.sliding_window import sliding_window_predict
 
-    forward = _hoisted_forward(model, variables)
+    def _pipeline_of(forward):
+        def ndim_normalized(images):
+            out = forward(images)
+            return out[..., 0] if out.ndim == 4 else out
 
-    def ndim_normalized(images):
-        out = forward(images)
-        return out[..., 0] if out.ndim == 4 else out
+        def pipeline(image):
+            return sliding_window_predict(
+                lambda _, images: ndim_normalized(images),
+                (),  # weights already bound; the variables slot is unused
+                image,
+                window=window,
+                stride=stride,
+                reduction=reduction,
+                strategy=strategy,
+                mesh=mesh,
+            )
 
-    def pipeline(image):
-        return sliding_window_predict(
-            lambda _, images: ndim_normalized(images),
-            (),  # weights live in the closure; the variables slot is unused
-            image,
-            window=window,
-            stride=stride,
-            reduction=reduction,
-            strategy=strategy,
-            mesh=mesh,
-        )
+        return pipeline
 
     h, w = image_shape
-    spec = jax.ShapeDtypeStruct((h, w, 3), dtype)
+    img_spec = jax.ShapeDtypeStruct((h, w, 3), dtype)
     jit_kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -171,16 +226,47 @@ def export_pipeline(
             "in_shardings": NamedSharding(mesh, PartitionSpec()),
             "out_shardings": NamedSharding(mesh, PartitionSpec()),
         }
-    return _export_for(platforms)(pipeline, spec, jit_kwargs=jit_kwargs)
+    if bake_weights:
+        pipeline = _pipeline_of(_hoisted_forward(model, variables))
+        return _export_for(platforms)(pipeline, img_spec, jit_kwargs=jit_kwargs)
+
+    fwd, leaves = _unbaked_forward(model, variables)
+
+    def pipeline_w(*args):
+        *ws, image = args
+        return _pipeline_of(lambda images: fwd(*ws, images))(image)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        repl = NamedSharding(mesh, PartitionSpec())
+        jit_kwargs = {
+            "in_shardings": tuple(repl for _ in leaves) + (repl,),
+            "out_shardings": repl,
+        }
+    exp = _export_for(platforms)(
+        pipeline_w, _weight_specs(leaves) + (img_spec,), jit_kwargs=jit_kwargs
+    )
+    return exp, leaves
+
+
+WEIGHTS_SUFFIX = ".weights.npz"
 
 
 def save_exported(
-    exp: jax_export.Exported, path: str, meta: Optional[Dict[str, Any]] = None
+    exp: jax_export.Exported,
+    path: str,
+    meta: Optional[Dict[str, Any]] = None,
+    weights: Optional[Sequence[Any]] = None,
 ) -> str:
     """Write ``path`` (serialized program) + ``path.json`` (manifest).
 
     The manifest carries everything a serving tier needs to validate a
     request without deserializing the program.
+
+    ``weights`` (from a ``bake_weights=False`` export) lands in a
+    ``path.weights.npz`` sidecar; the manifest records the leaf count so a
+    loader can bind them as the program's leading arguments.
     """
     data = exp.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -197,6 +283,15 @@ def save_exported(
         "bytes": len(data),
         "meta": meta or {},
     }
+    if weights is not None:
+        import numpy as np
+
+        np.savez(
+            path + WEIGHTS_SUFFIX,
+            **{f"w{i:05d}": np.asarray(w) for i, w in enumerate(weights)},
+        )
+        manifest["weights_file"] = os.path.basename(path) + WEIGHTS_SUFFIX
+        manifest["n_weight_args"] = len(weights)
     with open(path + MANIFEST_SUFFIX, "w") as f:
         json.dump(manifest, f, indent=1)
     return path
@@ -215,3 +310,30 @@ def load_exported(path: str):
         with open(path + MANIFEST_SUFFIX) as f:
             manifest = json.load(f)
     return exp.call, manifest
+
+
+def load_serving_fn(path: str):
+    """Load an artifact as a ready-to-call ``fn(images_or_image)``.
+
+    Handles both artifact flavors: baked weights (``fn == program.call``)
+    and sidecar weights (``bake_weights=False`` exports — the
+    ``.weights.npz`` leaves are loaded and bound as the program's leading
+    arguments; they ship to the device once as buffers, not as program
+    constants). Returns ``(fn, manifest)``.
+    """
+    call, manifest = load_exported(path)
+    n = manifest.get("n_weight_args", 0)
+    if not n:
+        return call, manifest
+    import numpy as np
+
+    wpath = os.path.join(
+        os.path.dirname(os.path.abspath(path)), manifest["weights_file"]
+    )
+    with np.load(wpath) as z:
+        leaves = [jnp.asarray(z[f"w{i:05d}"]) for i in range(n)]
+
+    def fn(images):
+        return call(*leaves, images)
+
+    return fn, manifest

@@ -51,6 +51,68 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _axis_plan(total: int, win: int, stride: int):
+    """One axis of the window grid: (count, n_regular, clamped_start).
+
+    ``count`` positions at ``i*stride`` except possibly the last, which is
+    edge-clamped to ``total - win`` (reference eval_utils.py:59-69). When
+    the last position falls exactly on the stride grid there is no clamped
+    window (``clamped_start is None`` and ``n_regular == count``)."""
+    count = int(np.ceil((total - win) / stride) + 1)
+    last = total - win
+    if (count - 1) * stride == last:
+        return count, count, None
+    return count, count - 1, last
+
+
+def _dense_ok(window: Tuple[int, int], stride: Tuple[int, int]) -> bool:
+    import os
+
+    if os.environ.get("EBC_DENSE_WINDOWS", "1") == "0":  # A/B safety valve
+        return False
+    return window[0] % stride[0] == 0 and window[1] % stride[1] == 0
+
+
+def gather_windows_dense(
+    image: jnp.ndarray, window: Tuple[int, int], stride: Tuple[int, int]
+) -> jnp.ndarray:
+    """Gather the sliding-window batch with reshapes/concats only — no
+    dynamic_slice, no gather HLO.
+
+    Requires ``stride`` to divide ``window`` (true for both the flagship
+    224/224 eval config, reference run.sh:25, and the test_nwpu 224/112
+    default, reference test_nwpu.py:75). The regular grid is an unfold:
+    split each axis into stride-blocks, then window ``i`` is the concat of
+    blocks ``i..i+k-1`` (k = window//stride) — ``k`` shifted views
+    concatenated. Edge-clamped last row/col are plain static slices. XLA
+    lowers all of it as dense copies at HBM speed; the r5 ledger measured
+    the vmapped-dynamic_slice gather + scatter assembly at ~18 ms/image
+    (~100x the bandwidth floor), motivating this path.
+
+    Window order matches :func:`window_grid` (row-major).
+    """
+    h, w, c = image.shape
+    (wh, ww), (sh, sw) = window, stride
+    ky, kx = wh // sh, ww // sw
+    rows, rows_reg, y_last = _axis_plan(h, wh, sh)
+    cols, cols_reg, x_last = _axis_plan(w, ww, sw)
+    # bands along y: (rows, wh, w, c)
+    a = image[: (rows_reg - 1 + ky) * sh].reshape(rows_reg - 1 + ky, sh, w, c)
+    bands = jnp.concatenate([a[i : i + rows_reg] for i in range(ky)], axis=1)
+    if y_last is not None:
+        bands = jnp.concatenate([bands, image[None, y_last : y_last + wh]], axis=0)
+    # windows along x within every band: (rows, wh, cols_reg, ww, c)
+    b = bands[:, :, : (cols_reg - 1 + kx) * sw].reshape(
+        rows, wh, cols_reg - 1 + kx, sw, c
+    )
+    wins = jnp.concatenate([b[:, :, j : j + cols_reg] for j in range(kx)], axis=3)
+    wins = wins.transpose(0, 2, 1, 3, 4)  # (rows, cols_reg, wh, ww, c)
+    if x_last is not None:
+        last_col = bands[:, :, x_last : x_last + ww]  # (rows, wh, ww, c)
+        wins = jnp.concatenate([wins, last_col[:, None]], axis=1)
+    return wins.reshape(rows * cols, wh, ww, c)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -85,13 +147,23 @@ def sliding_window_predict(
         bucket = max(bucket, mesh.shape["data"])
         bucket = _round_up(bucket, mesh.shape["data"])
     n_pad = _round_up(n, bucket)
-    starts_padded = jnp.concatenate(
-        [starts, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
-    )
-    def gather(yx):
-        return jax.lax.dynamic_slice(image, (yx[0], yx[1], 0), (wh, ww, image.shape[2]))
+    if _dense_ok(window, stride):
+        # reshape/concat unfold — no dynamic_slice (see gather_windows_dense)
+        wins = gather_windows_dense(image, window, stride)
+        windows = jnp.concatenate(
+            [wins, jnp.zeros((n_pad - n,) + wins.shape[1:], wins.dtype)], axis=0
+        ) if n_pad > n else wins
+    else:
+        starts_padded = jnp.concatenate(
+            [starts, jnp.zeros((n_pad - n, 2), jnp.int32)], axis=0
+        )
 
-    windows = jax.vmap(gather)(starts_padded)  # (n_pad, wh, ww, 3)
+        def gather(yx):
+            return jax.lax.dynamic_slice(
+                image, (yx[0], yx[1], 0), (wh, ww, image.shape[2])
+            )
+
+        windows = jax.vmap(gather)(starts_padded)  # (n_pad, wh, ww, 3)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -126,6 +198,13 @@ def assemble_windows(
     bh, bw = window[0] // reduction, window[1] // reduction
     hr, wr = h // reduction, w // reduction
     preds = preds.astype(jnp.float32)
+    if (
+        strategy == "average"
+        and _dense_ok(window, stride)
+        and stride[0] % reduction == 0
+        and stride[1] % reduction == 0
+    ):
+        return _assemble_windows_dense(preds, image_hw, window, stride, reduction)
     starts_np = np.asarray(window_grid((h, w), window, stride)) // reduction  # (n, 2)
     oy, ox = np.mgrid[0:bh, 0:bw]  # (bh, bw)
     flat_idx = (
@@ -148,6 +227,86 @@ def assemble_windows(
         return jnp.where(jnp.isfinite(acc), acc, 0.0).reshape(hr, wr)
 
     raise ValueError(f"strategy must be 'average' or 'max', got {strategy}")
+
+
+def _assemble_windows_dense(
+    preds: jnp.ndarray,  # (n, bh, bw) float32, grid order
+    image_hw: Tuple[int, int],
+    window: Tuple[int, int],
+    stride: Tuple[int, int],
+    reduction: int,
+) -> jnp.ndarray:
+    """Scatter-free overlap-average assembly (stride divides window).
+
+    TPU scatters serialize; but the grid is static, so decompose it into
+    ``k*k`` *phases* (k = window//stride): windows whose row index is
+    congruent mod k are spaced exactly one window apart — non-overlapping —
+    so each phase reassembles with a transpose+reshape and lands with one
+    padded add. Clamped last row/col land as padded band adds. The overlap
+    hit-count map is a compile-time constant divisor, exactly as in the
+    scatter path; results are bit-identical summation order per pixel up
+    to float add reassociation."""
+    h, w = image_hw
+    (wh, ww), (sh, sw) = window, stride
+    bh, bw = wh // reduction, ww // reduction
+    srh, srw = sh // reduction, sw // reduction
+    hr, wr = h // reduction, w // reduction
+    ky, kx = wh // sh, ww // sw
+    rows, rows_reg, y_last = _axis_plan(h, wh, sh)
+    cols, cols_reg, x_last = _axis_plan(w, ww, sw)
+    y_last_r = None if y_last is None else y_last // reduction
+    x_last_r = None if x_last is None else x_last // reduction
+    grid = preds.reshape(rows, cols, bh, bw)
+
+    def place(block: jnp.ndarray, y0: int, x0: int) -> jnp.ndarray:
+        return jnp.pad(
+            block,
+            ((y0, hr - y0 - block.shape[0]), (x0, wr - x0 - block.shape[1])),
+        )
+
+    acc = jnp.zeros((hr, wr), jnp.float32)
+    # regular-grid phases
+    for p in range(ky):
+        ny = len(range(p, rows_reg, ky))
+        if ny == 0:
+            continue
+        for q in range(kx):
+            nx = len(range(q, cols_reg, kx))
+            if nx == 0:
+                continue
+            blk = grid[p:rows_reg:ky, q:cols_reg:kx]  # (ny, nx, bh, bw)
+            blk = blk.transpose(0, 2, 1, 3).reshape(ny * bh, nx * bw)
+            acc = acc + place(blk, p * srh, q * srw)
+    # clamped last row (regular cols), by x-phase
+    if y_last_r is not None:
+        for q in range(kx):
+            nx = len(range(q, cols_reg, kx))
+            if nx == 0:
+                continue
+            blk = grid[rows - 1, q:cols_reg:kx]  # (nx, bh, bw)
+            blk = blk.transpose(1, 0, 2).reshape(bh, nx * bw)
+            acc = acc + place(blk, y_last_r, q * srw)
+    # clamped last col (regular rows), by y-phase
+    if x_last_r is not None:
+        for p in range(ky):
+            ny = len(range(p, rows_reg, ky))
+            if ny == 0:
+                continue
+            blk = grid[p:rows_reg:ky, cols - 1]  # (ny, bh, bw)
+            blk = blk.reshape(ny * bh, bw)
+            acc = acc + place(blk, p * srh, x_last_r)
+    # clamped corner
+    if y_last_r is not None and x_last_r is not None:
+        acc = acc + place(grid[rows - 1, cols - 1], y_last_r, x_last_r)
+
+    starts_np = np.asarray(window_grid((h, w), window, stride)) // reduction
+    oy, ox = np.mgrid[0:bh, 0:bw]
+    flat_idx = (
+        (starts_np[:, 0, None, None] + oy) * wr + (starts_np[:, 1, None, None] + ox)
+    ).astype(np.int32)
+    cnt = np.zeros(hr * wr, np.float32)
+    np.add.at(cnt, flat_idx.reshape(-1), 1.0)
+    return acc / jnp.asarray(np.maximum(cnt, 1.0).reshape(hr, wr))
 
 
 def resize_density_map(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

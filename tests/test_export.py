@@ -324,3 +324,81 @@ def test_export_cli_pipeline_mode(tmp_path):
     call, _ = load_exported(out)
     y = call(jnp.zeros((96, 128, 3), jnp.float32))
     assert np.asarray(y).shape == (12, 16)
+
+
+def test_unbaked_window_export_roundtrip(tiny_model, tmp_path):
+    """bake_weights=False: weights ride a sidecar npz and bind as leading
+    call args — the program file stays small (no embedded parameters) and
+    load_serving_fn reproduces the live model."""
+    from clip_ebc_tpu.export import load_serving_fn
+
+    model, variables = tiny_model
+    exp, leaves = export_window_forward(
+        model, variables, 64, batch=2, bake_weights=False
+    )
+    path = str(tmp_path / "win_unbaked.jaxexp")
+    save_exported(exp, path, {"model": "vgg11_ae"}, weights=leaves)
+    assert os.path.exists(path + ".weights.npz")
+    n_param_bytes = sum(np.asarray(l).nbytes for l in leaves)
+    assert os.path.getsize(path) < n_param_bytes  # weights not embedded
+
+    fn, manifest = load_serving_fn(path)
+    assert manifest["n_weight_args"] == len(leaves)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 64, 64, 3)), jnp.float32
+    )
+    direct = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(fn(x)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_unbaked_pipeline_export_matches_live(tiny_model, tmp_path):
+    from clip_ebc_tpu.export import load_serving_fn
+    from clip_ebc_tpu.ops.sliding_window import sliding_window_predict
+
+    model, variables = tiny_model
+    exp, leaves = export_pipeline(
+        model, variables, (96, 128), window=(64, 64), stride=(32, 32),
+        reduction=8, bake_weights=False,
+    )
+    path = str(tmp_path / "pipe_unbaked.jaxexp")
+    save_exported(exp, path, weights=leaves)
+    fn, _ = load_serving_fn(path)
+
+    img = jnp.asarray(
+        np.random.default_rng(2).normal(size=(96, 128, 3)), jnp.float32
+    )
+    live = sliding_window_predict(
+        lambda v, xs: model.apply(v, xs, train=False), variables, img,
+        window=(64, 64), stride=(32, 32), reduction=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(live), np.asarray(fn(img)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_export_cli_no_bake_weights(tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_unbaked.jaxexp")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [sys.executable, "-m", "clip_ebc_tpu.cli.export_model",
+         "--model", "vgg11_ae", "--input_size", "64", "--reduction", "8",
+         "--truncation", "4", "--bins_dataset", "shb", "--random_init",
+         "--batch", "2", "--no_bake_weights", "--out", out],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    with open(out + ".json") as f:
+        manifest = json.load(f)
+    assert manifest["n_weight_args"] > 0
+    assert manifest["meta"]["bake_weights"] is False
+    assert os.path.exists(out + ".weights.npz")
+    from clip_ebc_tpu.export import load_serving_fn
+
+    fn, _ = load_serving_fn(out)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    assert np.asarray(fn(x)).shape == (2, 8, 8)

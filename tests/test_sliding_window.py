@@ -160,3 +160,68 @@ def test_evaluator_pad_to_multiple_uses_normalized_black():
     full_black[:48, :80] = img
     direct = np.asarray(ev._forward(variables, jnp.asarray(full_black)[None])[0])
     np.testing.assert_allclose(np.asarray(d), direct[:3, :5], rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "hw,window,stride",
+    [
+        ((96, 128), (64, 64), (64, 64)),   # stride == window, clamped both axes
+        ((128, 192), (64, 64), (64, 64)),  # stride == window, fully regular
+        ((96, 128), (64, 64), (32, 32)),   # k=2 phases, clamped
+        ((160, 160), (64, 64), (32, 32)),  # k=2 phases, regular
+        ((100, 70), (64, 64), (16, 16)),   # k=4 phases, clamped, odd sizes
+    ],
+)
+def test_dense_gather_matches_dynamic_slice(hw, window, stride):
+    from clip_ebc_tpu.ops.sliding_window import gather_windows_dense
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 1, hw + (3,)).astype(np.float32))
+    starts = window_grid(hw, window, stride)
+
+    def one(yx):
+        return jax.lax.dynamic_slice(img, (yx[0], yx[1], 0), window + (3,))
+
+    ref = jax.vmap(one)(jnp.asarray(starts))
+    dense = gather_windows_dense(img, window, stride)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
+
+
+@pytest.mark.parametrize(
+    "hw,window,stride",
+    [
+        ((96, 128), (64, 64), (64, 64)),
+        ((128, 192), (64, 64), (64, 64)),
+        ((96, 128), (64, 64), (32, 32)),
+        ((160, 160), (64, 64), (32, 32)),
+        ((104, 88), (64, 64), (16, 16)),
+    ],
+)
+def test_dense_assembly_matches_scatter(hw, window, stride):
+    from clip_ebc_tpu.ops.sliding_window import (
+        _assemble_windows_dense, window_grid)
+
+    n = window_grid(hw, window, stride).shape[0]
+    rng = np.random.default_rng(8)
+    preds = jnp.asarray(
+        rng.uniform(0, 1, (n, window[0] // RED, window[1] // RED)).astype(np.float32)
+    )
+    # scatter reference path (force it by calling the internals directly)
+    h, w = hw
+    bh, bw = window[0] // RED, window[1] // RED
+    hr, wr = h // RED, w // RED
+    starts_np = window_grid(hw, window, stride) // RED
+    oy, ox = np.mgrid[0:bh, 0:bw]
+    flat_idx = (
+        (starts_np[:, 0, None, None] + oy) * wr + (starts_np[:, 1, None, None] + ox)
+    ).astype(np.int32)
+    cnt = np.zeros(hr * wr, np.float32)
+    np.add.at(cnt, flat_idx.reshape(-1), 1.0)
+    acc = (
+        jnp.zeros(hr * wr, jnp.float32)
+        .at[flat_idx.reshape(-1)]
+        .add(preds.reshape(-1))
+    )
+    ref = np.asarray((acc / jnp.asarray(np.maximum(cnt, 1.0))).reshape(hr, wr))
+    dense = np.asarray(_assemble_windows_dense(preds, hw, window, stride, RED))
+    np.testing.assert_allclose(dense, ref, rtol=1e-6, atol=1e-6)
