@@ -57,13 +57,18 @@ def main():
     from __graft_entry__ import _flagship
     from clip_ebc_tpu.ops.sliding_window import sliding_window_predict, window_grid
 
+    qa_env = os.environ.get("UNROLL_QUANT_ATTN", "0")
+    q_attn = {"0": False, "1": True, "xla": "xla"}.get(qa_env, False)
+    fuse_ln = os.environ.get("UNROLL_FUSE_LN", "auto")
     model, _ = _flagship(
         dtype=jnp.bfloat16, quant_int8=quant,
         quant_mode="static" if quant_env == "int8_static" else "dynamic",
         decoder_before_upsample=True,
+        quant_attn=q_attn if quant_env == "int8_static" else False,
+        fuse_ln_mode=fuse_ln,
     )
     n = window_grid((H, W), (WIN, WIN), (STRIDE, STRIDE)).shape[0]
-    print(f"{n} windows/image")
+    print(f"{n} windows/image, quant_attn={qa_env}, fuse_ln={fuse_ln}")
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, WIN, WIN, 3), jnp.bfloat16),
         train=False)
