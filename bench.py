@@ -353,39 +353,67 @@ def inner_main() -> None:
             jnp.float32
         )
 
-    @jax.jit
-    def pipeline(variables, image, i):
-        # Perturb the input each iteration: the axon relay dedupes identical
-        # executions, and the scalar fetch below forces real completion
-        # (block_until_ready alone does not, through the relay).
-        img = image + i.astype(image.dtype) * 1e-4
-        density = sliding_window_predict(
-            forward, variables, img,
-            window=window, stride=stride, reduction=reduction, strategy="average",
-        )
-        return density.sum()
+    # The relay fronting the chip adds a fixed ~28-30 ms round-trip per
+    # call that does NOT overlap across async dispatches (r5 measured a
+    # 0.2 ms gather at 30 ms/call), so any pipeline faster than ~4700 w/s
+    # is invisible to per-call timing. Remedy: unroll K pipeline reps
+    # inside one jit, chained through a scalar carry (nothing hoists or
+    # dedupes), and difference against a K=1 control — the per-call
+    # latency cancels and the number measures the machine. On a directly
+    # attached chip (dispatch ~10 us) the correction is negligible.
+    # BENCH_UNROLL=1 restores raw per-call timing.
+    unroll = int(os.environ.get("BENCH_UNROLL", "6"))
 
-    float(pipeline(variables, image, jnp.asarray(0.0)))  # compile
-    for i in range(2):  # warmup
-        float(pipeline(variables, image, jnp.asarray(float(i + 1))))
+    def make_unrolled(k):
+        @jax.jit
+        def run(variables, image, i):
+            s = i * 1e-6
+            for _ in range(k):
+                img = image + s.astype(image.dtype) * 1e-4
+                density = sliding_window_predict(
+                    forward, variables, img, window=window, stride=stride,
+                    reduction=reduction, strategy="average",
+                )
+                s = density.sum() * 1e-12 + s  # rep j+1 depends on rep j
+            return s
 
-    iters = int(os.environ.get("BENCH_ITERS", "12"))
+        return run
+
     import itertools
 
     seq = itertools.count(10)  # unbounded: never exhausts across repeats
 
-    def run_once():
-        t0 = time.perf_counter()
-        vals = [
-            pipeline(variables, image, jnp.asarray(float(next(seq))))
-            for _ in range(iters)
-        ]
-        for v in vals:
-            float(v)
-        return time.perf_counter() - t0
+    def time_variant(k, iters):
+        run = make_unrolled(k)
+        float(run(variables, image, jnp.asarray(0.0)))  # compile
+        float(run(variables, image, jnp.asarray(1.0)))  # warm
 
-    dt = repeated_best(run_once)
-    windows_per_sec = n_windows * iters / dt
+        def run_once():
+            t0 = time.perf_counter()
+            vals = [
+                run(variables, image, jnp.asarray(float(next(seq))))
+                for _ in range(iters)
+            ]
+            for v in vals:
+                float(v)
+            return (time.perf_counter() - t0) / iters
+
+        return repeated_best(run_once)
+
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    if unroll > 1:
+        t1 = time_variant(1, iters)
+        tk = time_variant(unroll, iters)
+        per_image = (tk - t1) / (unroll - 1)
+        timing_extra = {
+            "per_call_ms_k1": round(t1 * 1e3, 2),
+            "per_call_ms_k%d" % unroll: round(tk * 1e3, 2),
+            "timing": "latency_cancelled_unroll_diff",
+        }
+    else:
+        per_image = time_variant(1, iters)
+        timing_extra = {"timing": "per_call"}
+    windows_per_sec = n_windows / per_image
 
     print(
         json.dumps(
@@ -401,9 +429,12 @@ def inner_main() -> None:
                     f"assembly pipeline on a {h}x{w} image "
                     f"({quant_env if quant else 'bf16'}, stride {stride_env} — "
                     f"the reference flagship eval config is 224/224, "
-                    f"run.sh:25 — {n_windows} windows/img)"
+                    f"run.sh:25 — {n_windows} windows/img; "
+                    f"{timing_extra['timing']}; r1-r4 numbers were per-call "
+                    f"and pay the relay's ~28 ms dispatch floor)"
                 ),
                 "vs_baseline": round(windows_per_sec / A100_EST_IMGS_PER_SEC, 3),
+                **timing_extra,
             }
         )
     )
