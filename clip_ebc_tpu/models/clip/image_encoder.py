@@ -156,7 +156,10 @@ class ClipViT(nn.Module):
         n_real = x.shape[1]
         kv_len = None
         if self.fused_qkv:
-            lp = -(-n_real // 128) * 128
+            from ...ops.fused_attention import seq_pad
+
+            pad = seq_pad()  # 128 default; EBC_SEQ_PAD=240 trims the trunk
+            lp = -(-n_real // pad) * pad
             if lp != n_real:
                 x = jnp.pad(x, ((0, 0), (0, lp - n_real), (0, 0)))
                 kv_len = n_real

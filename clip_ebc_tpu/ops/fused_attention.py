@@ -68,6 +68,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def seq_pad() -> int:
+    """Trunk sequence padding multiple (A/B knob, default 128).
+
+    The flagship window sequence is 229 real tokens; padding to 256 taxes
+    every trunk matmul ~12%. EBC_SEQ_PAD=240 pads to the bf16 sublane
+    multiple (16) instead — Mosaic masks the unaligned lane tails of the
+    in-kernel score matrices, so only the attention matmuls keep their
+    internal 128-padding while the qkv projection and every XLA-side op
+    (MLP, out-proj, LN) shrink to the smaller sequence. Callers that
+    pre-pad the trunk (ClipViT) and the kernel wrapper must agree, hence
+    one shared knob."""
+    import os
+
+    return int(os.environ.get("EBC_SEQ_PAD", "128"))
+
+
+def attn_block_b(default: int = 2) -> int:
+    """Kernel batch-block (windows per grid step) A/B knob."""
+    import os
+
+    return int(os.environ.get("EBC_ATTN_BLOCK_B", str(default)))
+
+
 def supports(num_heads: int, head_dim: int) -> bool:
     """Shapes this kernel handles: 64-wide heads in even pairs (all CLIP
     ViT/text towers: dh=64, H in {8, 12, 16})."""
@@ -487,7 +510,7 @@ def _ln_qkv_forward(
     num_heads, kv_len, sm_scale, eps, block_b, interpret, quant_attn=False,
 ):
     b, l, d = x.shape
-    lp = _round_up(l, 128)
+    lp = _round_up(l, seq_pad())
     if lp != l:
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     bp = _round_up(b, block_b)
@@ -653,6 +676,7 @@ def fused_ln_qkv_attention(
             bias.astype(jnp.float32), num_heads, kv_len, sm_scale, eps,
         )
     interpret = interpret or target_platform() != "tpu"
+    block_b = attn_block_b(block_b)
     if x.dtype == jnp.float32:  # fp32 weights + qkv exceed VMEM at block 2
         block_b = 1
     return _ln_qkv_forward(
@@ -868,6 +892,7 @@ def fused_ln_qkv_attention_int8(
         )
     act_scale = jnp.asarray(act_scale, jnp.float32).reshape(())
     interpret = interpret or target_platform() != "tpu"
+    block_b = attn_block_b(block_b)
     if x.dtype == jnp.float32:
         block_b = 1
     sw = s_col * act_scale  # (3D,) dequant of the int32 qkv accumulator
