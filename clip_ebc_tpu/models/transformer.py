@@ -13,6 +13,7 @@ XLA einsum path and the Pallas flash-attention kernel in
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
@@ -381,15 +382,42 @@ class ResidualAttentionBlock(nn.Module):
             h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
             x = x + attn(h, mask)
 
-        # NOTE: a fully-fused W8A8 MLP kernel exists
+        # NOTE: a fully-fused W8A8 MLP *Pallas* kernel exists
         # (ops/fused_attention.fused_ln_mlp_int8) but measured SLOWER than
         # XLA's int8 matmul pair at the flagship shape (trunk 113 vs 105 ms
         # on v5e) — Mosaic's in-kernel dot falls short of XLA's int8 conv
-        # emitter here, so the block keeps the unfused MLP.
+        # emitter. The static path below instead fuses at the XLA level:
+        # both matmuls stay with XLA's emitter, but the act+re-quantize is
+        # folded into the fc dot's output fusion so the mlp_ratio-wide
+        # hidden is written/read as int8, not bf16 (ops/quant.
+        # int8_mlp_static). Same param/variable tree as the Int8Dense
+        # pair. EBC_FUSE_MLP=0 restores the unfused pair (A/B knob).
+        fuse_mlp = (
+            self.quant_int8
+            and self.quant_mode == "static"
+            and not self.is_initializing()
+            and not self.is_mutable_collection("quant")
+            and os.environ.get("EBC_FUSE_MLP", "1") != "0"
+        )
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
-        h = self.dense_cls(int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc")(h)
-        h = self.act(h)
-        h = self.dense_cls(d, dtype=self.dtype, name="mlp_proj")(h)
+        if fuse_mlp:
+            from ..ops.quant import _EPS, int8_mlp_static
+
+            hidden = int(d * self.mlp_ratio)
+            k1, b1, a1 = _ProjParams(hidden, quant_amax=True, name="mlp_fc")(d)
+            k2, b2, a2 = _ProjParams(d, quant_amax=True, name="mlp_proj")(hidden)
+            h = int8_mlp_static(
+                h,
+                k1, b1, jnp.maximum(a1, _EPS * 127.0) / 127.0,
+                k2, b2, jnp.maximum(a2, _EPS * 127.0) / 127.0,
+                self.act, out_dtype=self.dtype,
+            )
+        else:
+            h = self.dense_cls(
+                int(d * self.mlp_ratio), dtype=self.dtype, name="mlp_fc"
+            )(h)
+            h = self.act(h)
+            h = self.dense_cls(d, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
 

@@ -93,6 +93,56 @@ def int8_matmul_static(
     return out.astype(out_dtype)
 
 
+def int8_mlp_static(
+    x: jnp.ndarray,
+    k1: jnp.ndarray, b1, s1: jnp.ndarray,
+    k2: jnp.ndarray, b2, s2: jnp.ndarray,
+    act, out_dtype=None,
+):
+    """Transformer MLP (fc -> act -> proj) with both matmuls int8-static,
+    fused so the ``mlp_ratio``-wide hidden never exists in HBM above int8.
+
+    The unfused Int8Dense pair writes the hidden bf16 (2 bytes/elt), reads
+    it back for the activation, and re-quantizes it for the proj matmul —
+    3x the hidden bytes. Here the first dot's epilogue (dequant-scale +
+    bias + act + re-quantize at the proj's calibrated scale ``s2``) is one
+    XLA output fusion emitting int8 directly (A/B via EBC_FUSE_MLP, see
+    scripts/bisect_trunk_unrolled.py).
+
+    Numerics: the hidden stays fp32 inside the fusion instead of dipping
+    through bf16 between fc and act, so results differ from the unfused
+    pair only within bf16 rounding of the hidden (tested).
+
+    ``s1``/``s2`` are the precalibrated per-tensor activation scales of
+    the fc and proj inputs (same quantities Int8Dense static mode uses).
+    """
+    out_dtype = out_dtype or x.dtype
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s1), -127, 127
+    ).astype(jnp.int8)
+    w1_q, s_w1 = quantize_colwise(k1)
+    acc1 = jax.lax.dot_general(
+        x_q, w1_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc1.astype(jnp.float32) * (s1 * s_w1)
+    if b1 is not None:
+        h = h + b1.astype(jnp.float32)
+    h = act(h)
+    h_q = jnp.clip(jnp.round(h / s2), -127, 127).astype(jnp.int8)
+    w2_q, s_w2 = quantize_colwise(k2)
+    acc2 = jax.lax.dot_general(
+        h_q, w2_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc2.astype(jnp.float32) * (s2 * s_w2)
+    if b2 is not None:
+        out = out + b2.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 class Int8Dense(nn.Module):
     """Drop-in for ``nn.Dense`` (same param names/shapes/init, so converted
     checkpoints load identically) whose matmul runs int8 on the MXU.

@@ -281,3 +281,44 @@ def test_validate_quant_scales_partial_warns_not_raises(caplog):
 
     with pytest.raises(ValueError, match="gated_branch"):
         validate_quant_scales({"quant": quant}, strict=True)
+
+
+def test_fused_static_mlp_matches_unfused_pair(monkeypatch):
+    """ResidualAttentionBlock static-int8 MLP: the XLA-fused path
+    (act+re-quantize folded into the fc dot's epilogue, int8 hidden —
+    EBC_FUSE_MLP=1, the default) agrees with the unfused Int8Dense pair
+    (EBC_FUSE_MLP=0) within bf16 rounding of the hidden, on the SAME
+    params/variables (the trees must be interchangeable)."""
+    from clip_ebc_tpu.models.transformer import ResidualAttentionBlock
+    from clip_ebc_tpu.ops.quant import calibrate_int8
+
+    d, heads, L, B = 64, 2, 12, 3
+    from clip_ebc_tpu.models.transformer import make_dense_cls
+
+    mk = lambda: ResidualAttentionBlock(
+        num_heads=heads, dtype=jnp.float32, fused_qkv=True,
+        quant_int8=True, quant_mode="static",
+        dense_cls=make_dense_cls(True, "static"),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(B, L, d)), jnp.float32
+    )
+    variables = dict(mk().init(jax.random.PRNGKey(0), x))
+    dyn = ResidualAttentionBlock(
+        num_heads=heads, dtype=jnp.float32, fused_qkv=True,
+        quant_int8=True, quant_mode="dynamic",
+        dense_cls=make_dense_cls(True, "dynamic"),
+    )
+    variables = calibrate_int8(
+        lambda v, b: dyn.apply(v, b, mutable=["quant"]), variables, [x]
+    )
+
+    monkeypatch.setenv("EBC_FUSE_MLP", "0")
+    ref = np.asarray(mk().apply(variables, x), np.float32)
+    monkeypatch.setenv("EBC_FUSE_MLP", "1")
+    got = np.asarray(mk().apply(variables, x), np.float32)
+    # identical int8 matmul operands except the hidden's bf16 dip on the
+    # unfused path -> small relative disagreement
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-2)
+    assert np.median(rel) < 0.02, np.median(rel)
+    assert np.max(rel) < 0.35, np.max(rel)
