@@ -382,22 +382,24 @@ class ResidualAttentionBlock(nn.Module):
             h = LayerNormF32(self.ln_epsilon, name="ln_1")(x)
             x = x + attn(h, mask)
 
-        # NOTE: a fully-fused W8A8 MLP *Pallas* kernel exists
-        # (ops/fused_attention.fused_ln_mlp_int8) but measured SLOWER than
-        # XLA's int8 matmul pair at the flagship shape (trunk 113 vs 105 ms
-        # on v5e) — Mosaic's in-kernel dot falls short of XLA's int8 conv
-        # emitter. The static path below instead fuses at the XLA level:
-        # both matmuls stay with XLA's emitter, but the act+re-quantize is
-        # folded into the fc dot's output fusion so the mlp_ratio-wide
-        # hidden is written/read as int8, not bf16 (ops/quant.
-        # int8_mlp_static). Same param/variable tree as the Int8Dense
-        # pair. EBC_FUSE_MLP=0 restores the unfused pair (A/B knob).
+        # NOTE: both MLP fusion attacks measured SLOWER than XLA's plain
+        # int8 matmul pair at the flagship shape and stay opt-in knobs:
+        # (a) the fully-fused W8A8 Pallas kernel
+        # (ops/fused_attention.fused_ln_mlp_int8) — trunk 113 vs 105 ms,
+        # Mosaic's in-kernel dot falls short of XLA's int8 emitter (r3);
+        # (b) the XLA-level int8-hidden fusion below (ops/quant.
+        # int8_mlp_static: act+re-quantize folded into the fc dot's
+        # epilogue so the mlp_ratio-wide hidden stays int8 in HBM) —
+        # 33.75 vs 31.18 ms/image latency-cancelled on the live chip
+        # (r5): the extra round/clip vector work costs more than the
+        # saved hidden bytes. EBC_FUSE_MLP=1 re-enables (b); same
+        # param/variable tree as the Int8Dense pair either way.
         fuse_mlp = (
             self.quant_int8
             and self.quant_mode == "static"
             and not self.is_initializing()
             and not self.is_mutable_collection("quant")
-            and os.environ.get("EBC_FUSE_MLP", "1") != "0"
+            and os.environ.get("EBC_FUSE_MLP", "0") == "1"
         )
         h = LayerNormF32(self.ln_epsilon, name="ln_2")(x)
         if fuse_mlp:
