@@ -286,12 +286,22 @@ def save_exported(
     if weights is not None:
         import numpy as np
 
-        np.savez(
-            path + WEIGHTS_SUFFIX,
-            **{f"w{i:05d}": np.asarray(w) for i, w in enumerate(weights)},
-        )
+        # numpy can't round-trip the ML extension dtypes (bfloat16, fp8):
+        # np.savez stores them as raw void records that np.load hands back
+        # as '|V2'. Store such leaves as same-width uints and record the
+        # true dtype in the manifest so the loader can view them back.
+        arrs: Dict[str, Any] = {}
+        wdtypes = []
+        for i, w in enumerate(weights):
+            a = np.asarray(w)
+            wdtypes.append(str(a.dtype))
+            if a.dtype.kind == "V" or not a.dtype.isbuiltin:
+                a = a.view({1: np.uint8, 2: np.uint16, 4: np.uint32}[a.dtype.itemsize])
+            arrs[f"w{i:05d}"] = a
+        np.savez(path + WEIGHTS_SUFFIX, **arrs)
         manifest["weights_file"] = os.path.basename(path) + WEIGHTS_SUFFIX
         manifest["n_weight_args"] = len(weights)
+        manifest["weight_dtypes"] = wdtypes
     with open(path + MANIFEST_SUFFIX, "w") as f:
         json.dump(manifest, f, indent=1)
     return path
@@ -330,8 +340,25 @@ def load_serving_fn(path: str):
     wpath = os.path.join(
         os.path.dirname(os.path.abspath(path)), manifest["weights_file"]
     )
+    wdtypes = manifest.get("weight_dtypes")
+
+    def _true_dtype(name: str) -> "np.dtype":
+        try:
+            return np.dtype(name)
+        except TypeError:
+            import ml_dtypes
+
+            return np.dtype(getattr(ml_dtypes, name))
+
+    leaves = []
     with np.load(wpath) as z:
-        leaves = [jnp.asarray(z[f"w{i:05d}"]) for i in range(n)]
+        for i in range(n):
+            raw = z[f"w{i:05d}"]
+            if wdtypes is not None:
+                dt = _true_dtype(wdtypes[i])
+                if raw.dtype != dt:
+                    raw = raw.view(dt)
+            leaves.append(jnp.asarray(raw))
 
     def fn(images):
         return call(*leaves, images)

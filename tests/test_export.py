@@ -402,3 +402,32 @@ def test_export_cli_no_bake_weights(tmp_path):
     fn, _ = load_serving_fn(out)
     x = jnp.zeros((2, 64, 64, 3), jnp.float32)
     assert np.asarray(fn(x)).shape == (2, 8, 8)
+
+
+def test_sidecar_weights_bf16_roundtrip(tmp_path):
+    """bf16 leaves can't round-trip np.savez natively (np.load hands back
+    raw '|V2' records, which crashed the first on-chip serving run) —
+    save_exported stores them as uint16 + records the true dtype in the
+    manifest; load_serving_fn views them back before binding."""
+    from jax import export as jax_export
+
+    from clip_ebc_tpu.export import load_serving_fn
+
+    def f(w, b, x):
+        return (x @ w).astype(jnp.float32) + b
+
+    w = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 8)), jnp.bfloat16
+    )
+    b = jnp.asarray([1.5], jnp.float32)
+    x = jnp.ones((2, 8), jnp.bfloat16)
+    exp = jax_export.export(jax.jit(f))(w, b, x)
+    path = str(tmp_path / "bf16.jaxexp")
+    save_exported(exp, path, weights=[w, b])
+    fn, manifest = load_serving_fn(path)
+    assert manifest["weight_dtypes"] == ["bfloat16", "float32"]
+    # exported vs eager may accumulate the bf16 dot in different orders
+    np.testing.assert_allclose(
+        np.asarray(fn(x), np.float32), np.asarray(f(w, b, x), np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
