@@ -91,16 +91,20 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, WIN, WIN, 3)), jnp.bfloat16)
 
-    def eager(xs):
-        return model.apply(variables, xs, train=False, text_feats=text_feats)
+# weights/text feats MUST be jit arguments: closures bake them into
+    # the compile request as constants, which exceeds the relay's
+    # request-size cap (HTTP 413)
+    def eager(v, tf, xs):
+        return model.apply(v, xs, train=False, text_feats=tf)
 
-    eag = np.asarray(jax.jit(eager)(x), np.float32)
+    jit_eager = jax.jit(eager)
+    eag = np.asarray(jit_eager(variables, text_feats, x), np.float32)
     srv = np.asarray(fn(x), np.float32)
     cnt_e, cnt_s = eag.sum(axis=(1, 2)), srv.sum(axis=(1, 2))
     rel = float(np.max(np.abs(cnt_s - cnt_e) / np.maximum(np.abs(cnt_e), 1e-6)))
     t_srv = timed_min(lambda: np.asarray(fn(x)).sum(), iters)
-    jit_eager = jax.jit(eager)
-    t_eag = timed_min(lambda: np.asarray(jit_eager(x)).sum(), iters)
+    t_eag = timed_min(
+        lambda: np.asarray(jit_eager(variables, text_feats, x)).sum(), iters)
     print(f"window: program {manifest['bytes']/1e6:.1f} MB, export {export_s:.0f}s, "
           f"count rel-delta {rel:.2e}, served {t_srv*1e3:.1f} ms/call vs "
           f"eager {t_eag*1e3:.1f} ms/call ({batch} windows)")
