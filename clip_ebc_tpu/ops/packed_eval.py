@@ -75,7 +75,7 @@ class WindowPacker:
         self.W = batch_windows
         self.C = chunk
         self._dtype = dtype
-        self._buf = None  # allocated on first add()
+        self._buf = None  # (2*W, wh, ww, 3) staging ring; allocated on first add()
         wh, ww = window
         self._fill = 0  # host-tracked, always a multiple of C
         self._stream_pos = 0  # global window-slot counter
@@ -83,29 +83,40 @@ class WindowPacker:
         self._batch_idx = 0
         self._pending = []  # (image_hw, base_pos, n) in submission order
 
-        # NOT donated: the buffer may still be under async read by the
-        # previous forward dispatch; the extra (batch_windows, wh, ww, 3)
-        # copy per chunk is ~0.5 ms/batch of HBM traffic vs ~25 ms forward.
-        @jax.jit
-        def _place(buf, chunk_windows, off):
-            return jax.lax.dynamic_update_slice(
-                buf, chunk_windows.astype(buf.dtype), (off, 0, 0, 0)
-            )
+        # forward on the first W staging slots (the buffer is 2W deep so a
+        # whole image places in ONE dispatch even when it straddles a
+        # batch boundary); the slice fuses into the (jitted) forward
+        self._fwd = jax.jit(lambda ctx, buf: self.forward(ctx, buf[: self.W]))
 
-        self._place = _place
-
-        # per-(image-shape) gather of one chunk of windows; starts is a
-        # traced (C, 2) array so positions never recompile
+        # drain: shift the staging buffer down by one batch. NOT donated:
+        # the buffer may still be under async read by the forward dispatch.
         @jax.jit
-        def _gather(image, starts):
+        def _shift(buf):
+            return jnp.concatenate([buf[self.W :], jnp.zeros_like(buf[self.W :])])
+
+        self._shift = _shift
+
+        # per-(image-shape, segment-length) fused gather+place: slice a
+        # whole SEGMENT of windows out of the image and write it into the
+        # staging buffer in ONE dispatch. starts/off are traced so window
+        # positions and buffer offsets never recompile; only the segment
+        # length (static, one per distinct batch-boundary split) does.
+        # Keeping gather and place in one program matters on dispatch-
+        # expensive runtimes (an RPC relay pays a fixed ~30 ms round trip
+        # per call, and re-ships call operands — one call per 16-window
+        # chunk made the packer slower than the per-image path it exists
+        # to beat; see PACKED_EVAL_r05.json).
+        @functools.partial(jax.jit, static_argnames=("n_seg",))
+        def _gather_place(buf, image, starts, off, n_seg):
             def one(yx):
                 return jax.lax.dynamic_slice(
                     image, (yx[0], yx[1], 0), (wh, ww, image.shape[2])
                 )
 
-            return jax.vmap(one)(starts)
+            seg = jax.vmap(one)(starts[:n_seg]).astype(buf.dtype)
+            return jax.lax.dynamic_update_slice(buf, seg, (off, 0, 0, 0))
 
-        self._gather = _gather
+        self._gather_place = _gather_place
 
         # slice an image's rows out of (up to a few) stacked forward
         # batches + scatter-assemble, one jitted program per
@@ -128,13 +139,20 @@ class WindowPacker:
         self._collect_jit = _collect_jit
 
     def _run_batch(self) -> None:
-        preds = self.forward(self.ctx, self._buf)
+        preds = self._fwd(self.ctx, self._buf)
         self._outputs[self._batch_idx] = preds
         self._batch_idx += 1
-        self._fill = 0
+        self._buf = self._shift(self._buf)
+        self._fill = max(self._fill - self.W, 0)  # 0 on a flush() tail
 
     def add(self, image: jnp.ndarray) -> None:
-        """Queue one (H, W, 3) image; its windows are packed immediately."""
+        """Queue one (H, W, 3) image; its windows are packed immediately.
+
+        Dispatch budget (what makes this viable on RPC runtimes): ONE
+        fused gather+place call per W-sized run of the image's windows —
+        so one call for any image up to ``batch_windows`` windows — plus
+        the shared forward/shift pair per completed batch. Programs
+        compile per (image shape, tail length), not per position."""
         h, w = int(image.shape[0]), int(image.shape[1])
         starts = window_grid((h, w), self.window, self.stride)  # (n, 2)
         n = starts.shape[0]
@@ -147,15 +165,17 @@ class WindowPacker:
         if self._buf is None:
             wh, ww = self.window
             self._buf = jnp.zeros(
-                (self.W, wh, ww, 3), self._dtype or image.dtype
+                (2 * self.W, wh, ww, 3), self._dtype or image.dtype
             )
         self._pending.append(((h, w), self._stream_pos, n))
-        for j in range(n_pad // self.C):
-            chunk_starts = jnp.asarray(starts[j * self.C : (j + 1) * self.C])
-            windows = self._gather(image, chunk_starts)
-            self._buf = self._place(self._buf, windows, jnp.int32(self._fill))
-            self._fill += self.C
-            if self._fill == self.W:
+        for j0 in range(0, n_pad, self.W):  # W-chunks + one static tail
+            n_seg = min(self.W, n_pad - j0)
+            seg_starts = jnp.asarray(starts[j0 : j0 + n_seg])
+            self._buf = self._gather_place(
+                self._buf, image, seg_starts, jnp.int32(self._fill), n_seg
+            )
+            self._fill += n_seg
+            while self._fill >= self.W:
                 self._run_batch()
         self._stream_pos += n_pad
 
