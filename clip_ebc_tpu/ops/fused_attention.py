@@ -69,19 +69,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def seq_pad() -> int:
-    """Trunk sequence padding multiple (A/B knob, default 128).
+    """Trunk sequence padding multiple (default 16 = the bf16 sublane
+    multiple; EBC_SEQ_PAD overrides, 128 restores the r4 behavior).
 
-    The flagship window sequence is 229 real tokens; padding to 256 taxes
-    every trunk matmul ~12%. EBC_SEQ_PAD=240 pads to the bf16 sublane
-    multiple (16) instead — Mosaic masks the unaligned lane tails of the
-    in-kernel score matrices, so only the attention matmuls keep their
-    internal 128-padding while the qkv projection and every XLA-side op
-    (MLP, out-proj, LN) shrink to the smaller sequence. Callers that
+    The flagship window sequence is 229 real tokens; padding to a
+    128-multiple (256) taxes every trunk matmul ~12%, while the sublane
+    multiple pads only to 240 — Mosaic masks the unaligned lane tails of
+    the in-kernel score matrices, so only the attention matmuls keep
+    their internal 128-padding while the qkv projection and every
+    XLA-side op (MLP, out-proj, LN) shrink to the smaller sequence.
+    Measured on chip (flagship int8_static decoder-pre, latency-
+    cancelled): 30.55 vs 31.18 ms/image — the r5 headline. Callers that
     pre-pad the trunk (ClipViT) and the kernel wrapper must agree, hence
     one shared knob."""
     import os
 
-    return int(os.environ.get("EBC_SEQ_PAD", "128"))
+    return int(os.environ.get("EBC_SEQ_PAD", "16"))
 
 
 def attn_block_b(default: int = 2) -> int:
