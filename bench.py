@@ -211,28 +211,63 @@ def bench_train() -> None:
     lr = jnp.asarray(1e-4, jnp.float32)
     # hoisted frozen text features, exactly as train_epoch passes them
     text_feats = trainer.text_features(state)
-    state, info = trainer._step(state, b_dev, lr, text_feats)  # compile
-    float(info["loss"])
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
-    def run_once():
-        nonlocal state
-        t0 = time.perf_counter()
-        # Defer metric fetches to the end, exactly like the production
-        # epoch loop (training/trainer.py train_epoch): steps chain on the
-        # donated state, so fetching the collected losses afterwards forces
-        # the whole chain through the relay without paying a D2H round-trip
-        # per step.
-        infos = []
-        for _ in range(iters):
-            state, info = trainer._step(state, b_dev, lr, text_feats)
-            infos.append(info)
-        for info in infos:
-            float(info["loss"])
-        return time.perf_counter() - t0
+    # The relay adds a fixed, NON-overlapping ~28-30 ms round trip per
+    # dispatched call (r5 measurement — see inner_main's note), so a
+    # 10-dispatch train measurement pays ~300 ms of pure dispatch tax.
+    # Same remedy as inference: unroll K steps inside ONE jit (chained on
+    # the donated state, so nothing hoists) and difference against a K=1
+    # control — per-step device time, the number a production host sees.
+    # BENCH_UNROLL=1 restores the r3/r4 per-call timing.
+    unroll = int(os.environ.get("BENCH_UNROLL", "4"))
+    from functools import partial
 
-    dt = repeated_best(run_once)
-    crops_per_sec = batch * iters / dt
+    from clip_ebc_tpu.training.trainer import make_train_step
+
+    raw_step = make_train_step(model, trainer.loss_fn)
+
+    def make_multi(k):
+        @partial(jax.jit, donate_argnums=(0,))
+        def multi(state, batch, lr, text_feats):
+            for _ in range(k):
+                state, info = raw_step(state, batch, lr, text_feats)
+            return state, info
+
+        return multi
+
+    def time_k(k):
+        nonlocal state
+        step_k = make_multi(k)
+        state, info = step_k(state, b_dev, lr, text_feats)  # compile
+        float(info["loss"])
+
+        def run_once():
+            nonlocal state
+            t0 = time.perf_counter()
+            infos = []
+            for _ in range(iters):
+                state, info = step_k(state, b_dev, lr, text_feats)
+                infos.append(info)
+            for info in infos:
+                float(info["loss"])
+            return (time.perf_counter() - t0) / iters
+
+        return repeated_best(run_once)
+
+    if unroll > 1:
+        t1 = time_k(1)
+        tk = time_k(unroll)
+        per_step = (tk - t1) / (unroll - 1)
+        timing_extra = {
+            "per_call_ms_k1": round(t1 * 1e3, 2),
+            "per_call_ms_k%d" % unroll: round(tk * 1e3, 2),
+            "timing": "latency_cancelled_unroll_diff",
+        }
+    else:
+        per_step = time_k(1)
+        timing_extra = {"timing": "per_call_min_of_repeats_deferred_fetch"}
+    crops_per_sec = batch / per_step
     # Batch size and repeat count are recorded IN the emitted JSON so
     # numbers measured at different configs can never be compared
     # unnoticed across rounds (r3 moved batch 16->64 / 32->128 and to
@@ -241,7 +276,7 @@ def bench_train() -> None:
         "batch": batch,
         "repeats": int(os.environ.get("BENCH_REPEATS", "3")),
         "iters": iters,
-        "timing": "min_of_repeats_deferred_fetch",
+        **timing_extra,
     }
     if flagship:
         metric = {
