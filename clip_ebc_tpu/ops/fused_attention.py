@@ -129,6 +129,20 @@ def _pair_attention_body(
         p = jnp.exp(s - m)
         return p / jnp.sum(p, axis=2, keepdims=True)
 
+    def pair_softmax_unnorm(s):
+        """Softmax split for normalize-after-PV: returns the UNNORMALIZED
+        probabilities (exp(s - max), in [0, 1]) plus the per-row sum. The
+        1/sum division then lands on the (blk, lp, 64..128)-wide PV output
+        instead of the (blk, lp, lp) score matrix — one fewer full VPU
+        pass over the stack's largest tensor (the softmax stack is the
+        trunk's dominant vector cost, r5 ledger). Exact same math up to
+        float reassociation (division moved through the matmul's linear
+        axis)."""
+        s = jnp.where(kv_mask, s * sm_scale, NEG_INF)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        return p, jnp.sum(p, axis=2, keepdims=True)
+
     def q8(t):
         """(blk, lp, 128) fp -> (int8 values, fp32 scalar scale)."""
         tf = t.astype(jnp.float32)
@@ -153,18 +167,18 @@ def _pair_attention_body(
             ).astype(jnp.float32) * (s_qo * s_k)
             ve_q, s_ve = q8(v2 * m_even)
             vo_q, s_vo = q8(v2 * m_odd)
-            # probs are in [0, 1]: fixed 1/127 scale, no reduction needed
-            pe = jnp.clip(
-                jnp.round(pair_softmax(s_even) * 127.0), 0, 127
-            ).astype(jnp.int8)
-            po = jnp.clip(
-                jnp.round(pair_softmax(s_odd) * 127.0), 0, 127
-            ).astype(jnp.int8)
+            # Unnormalized probs are in [0, 1] (exp(s - max) <= 1): fixed
+            # 1/127 scale, round lands in [0, 127] so no clip pass, and
+            # the 1/rowsum normalization moves to the narrower PV output.
+            pe_u, re_ = pair_softmax_unnorm(s_even)
+            po_u, ro_ = pair_softmax_unnorm(s_odd)
+            pe = jnp.round(pe_u * 127.0).astype(jnp.int8)
+            po = jnp.round(po_u * 127.0).astype(jnp.int8)
             o2 = jax.lax.dot_general(
                 pe, ve_q, dn_o, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (s_ve / 127.0) + jax.lax.dot_general(
+            ).astype(jnp.float32) * (s_ve / 127.0) / re_ + jax.lax.dot_general(
                 po, vo_q, dn_o, preferred_element_type=jnp.int32
-            ).astype(jnp.float32) * (s_vo / 127.0)
+            ).astype(jnp.float32) * (s_vo / 127.0) / ro_
         else:
             s_even = jax.lax.dot_general(
                 q2 * m_even, k2, dn, preferred_element_type=jnp.float32
@@ -172,13 +186,15 @@ def _pair_attention_body(
             s_odd = jax.lax.dot_general(
                 q2 * m_odd, k2, dn, preferred_element_type=jnp.float32
             )
+            pe_u, re_ = pair_softmax_unnorm(s_even)
+            po_u, ro_ = pair_softmax_unnorm(s_odd)
             o2 = jax.lax.dot_general(
-                pair_softmax(s_even).astype(qkv.dtype), v2 * m_even, dn_o,
+                pe_u.astype(qkv.dtype), v2 * m_even, dn_o,
                 preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                pair_softmax(s_odd).astype(qkv.dtype), v2 * m_odd, dn_o,
+            ) / re_ + jax.lax.dot_general(
+                po_u.astype(qkv.dtype), v2 * m_odd, dn_o,
                 preferred_element_type=jnp.float32,
-            )
+            ) / ro_
         o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
 
 
@@ -206,11 +222,17 @@ def _pair_attention_body_static(
     s_pv = aq[2] * (1.0 / 127.0)
 
     def softmax_q8(s_i32):
+        """Unnormalized int8 softmax: exp(s - max) is in [0, 1], so the
+        fixed 1/127 scale needs NO clip (round lands in [0, 127]); the
+        1/rowsum normalization is returned separately and applied to the
+        (blk, lp, 128) PV output instead of the (blk, lp, lp) score
+        matrix — two fewer full VPU passes over the stack's largest
+        tensor vs normalize-then-quantize."""
         s = jnp.where(kv_mask, s_i32.astype(jnp.float32) * s_qk, NEG_INF)
         m = jnp.max(s, axis=2, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=2, keepdims=True)
-        return jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+        r = jnp.sum(p, axis=2, keepdims=True)
+        return jnp.round(p * 127.0).astype(jnp.int8), r
 
     dn = (((2,), (2,)), ((0,), (0,)))  # contract lanes, batch dim 0
     dn_o = (((2,), (1,)), ((0,), (0,)))  # (blk,lp,lp) @ (blk,lp,128)
@@ -224,16 +246,18 @@ def _pair_attention_body_static(
         s_odd = jax.lax.dot_general(
             jnp.where(even, zero8, q2), k2, dn, preferred_element_type=jnp.int32
         )
+        pe, re_ = softmax_q8(s_even)
+        po, ro_ = softmax_q8(s_odd)
         o2 = (
             jax.lax.dot_general(
-                softmax_q8(s_even), jnp.where(even, v2, zero8), dn_o,
+                pe, jnp.where(even, v2, zero8), dn_o,
                 preferred_element_type=jnp.int32,
-            )
+            ).astype(jnp.float32) / re_
             + jax.lax.dot_general(
-                softmax_q8(s_odd), jnp.where(even, zero8, v2), dn_o,
+                po, jnp.where(even, zero8, v2), dn_o,
                 preferred_element_type=jnp.int32,
-            )
-        ).astype(jnp.float32) * s_pv
+            ).astype(jnp.float32) / ro_
+        ) * s_pv
         o_ref[:, :, 128 * c : 128 * (c + 1)] = o2.astype(o_ref.dtype)
 
 
