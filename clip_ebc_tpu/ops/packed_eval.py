@@ -40,6 +40,90 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# Module-level program caches.
+#
+# jax.jit caches compiled programs PER FUNCTION OBJECT: a jit created inside
+# WindowPacker.__init__ makes every packer instance recompile all of its
+# programs from scratch. On a local host that is a few hundred ms of wasted
+# tracing; through an RPC relay every compile is a multi-second round trip
+# and a per-stream packer measured ~47 s/stream of pure recompilation
+# (PACKED_EVAL_r05.json). Keying the jitted helpers on the packer's static
+# config (and the forward on its callable identity) makes packer instances
+# share programs exactly like `sliding_window_predict` does.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_program(forward: Callable, W: int):
+    """Forward on the first W staging slots (the buffer is 2W deep so a
+    whole image places in ONE dispatch even when it straddles a batch
+    boundary); the slice fuses into the jitted forward."""
+    return jax.jit(lambda ctx, buf: forward(ctx, buf[:W]))
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_program(W: int):
+    """Drain: shift the staging buffer down by one batch. NOT donated: the
+    buffer may still be under async read by the forward dispatch."""
+
+    @jax.jit
+    def shift(buf):
+        return jnp.concatenate([buf[W:], jnp.zeros_like(buf[W:])])
+
+    return shift
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_place_program(window: Tuple[int, int]):
+    """Per-(image-shape, segment-length) fused gather+place: slice a whole
+    SEGMENT of windows out of the image and write it into the staging
+    buffer in ONE dispatch. starts/off are traced so window positions and
+    buffer offsets never recompile; only the segment length (static, one
+    per distinct batch-boundary split) does. Keeping gather and place in
+    one program matters on dispatch-expensive runtimes (an RPC relay pays
+    a fixed ~30 ms round trip per call, and re-ships call operands — one
+    call per 16-window chunk made the packer slower than the per-image
+    path it exists to beat; see PACKED_EVAL_r05.json)."""
+    wh, ww = window
+
+    @functools.partial(jax.jit, static_argnames=("n_seg",))
+    def gather_place(buf, image, starts, off, n_seg):
+        def one(yx):
+            return jax.lax.dynamic_slice(
+                image, (yx[0], yx[1], 0), (wh, ww, image.shape[2])
+            )
+
+        seg = jax.vmap(one)(starts[:n_seg]).astype(buf.dtype)
+        return jax.lax.dynamic_update_slice(buf, seg, (off, 0, 0, 0))
+
+    return gather_place
+
+
+@functools.lru_cache(maxsize=None)
+def _collect_program(
+    window: Tuple[int, int], stride: Tuple[int, int], reduction: int,
+    strategy: str,
+):
+    """Slice an image's rows out of (up to a few) stacked forward batches
+    + scatter-assemble, one jitted program per (n_batches, n, image_hw)
+    combination — all cheap programs."""
+
+    @functools.partial(jax.jit, static_argnames=("n", "image_hw"))
+    def collect(batches, start, n, image_hw):
+        stacked = (
+            batches[0] if len(batches) == 1 else jnp.concatenate(batches)
+        )
+        rows = jax.lax.dynamic_slice(
+            stacked, (start, 0, 0), (n, stacked.shape[1], stacked.shape[2])
+        )
+        return assemble_windows(
+            rows, image_hw, window, stride, reduction, strategy
+        )
+
+    return collect
+
+
 class WindowPacker:
     """Streams images through a shared fixed-size window-batch forward.
 
@@ -66,6 +150,7 @@ class WindowPacker:
     ) -> None:
         if batch_windows % chunk:
             raise ValueError("batch_windows must be a multiple of chunk")
+        window, stride = tuple(window), tuple(stride)  # hashable cache keys
         self.forward = forward
         self.ctx = ctx
         self.window = window
@@ -76,67 +161,21 @@ class WindowPacker:
         self.C = chunk
         self._dtype = dtype
         self._buf = None  # (2*W, wh, ww, 3) staging ring; allocated on first add()
-        wh, ww = window
         self._fill = 0  # host-tracked, always a multiple of C
         self._stream_pos = 0  # global window-slot counter
         self._outputs: dict = {}  # batch index -> (W, bh, bw) density batch
         self._batch_idx = 0
         self._pending = []  # (image_hw, base_pos, n) in submission order
 
-        # forward on the first W staging slots (the buffer is 2W deep so a
-        # whole image places in ONE dispatch even when it straddles a
-        # batch boundary); the slice fuses into the (jitted) forward
-        self._fwd = jax.jit(lambda ctx, buf: self.forward(ctx, buf[: self.W]))
-
-        # drain: shift the staging buffer down by one batch. NOT donated:
-        # the buffer may still be under async read by the forward dispatch.
-        @jax.jit
-        def _shift(buf):
-            return jnp.concatenate([buf[self.W :], jnp.zeros_like(buf[self.W :])])
-
-        self._shift = _shift
-
-        # per-(image-shape, segment-length) fused gather+place: slice a
-        # whole SEGMENT of windows out of the image and write it into the
-        # staging buffer in ONE dispatch. starts/off are traced so window
-        # positions and buffer offsets never recompile; only the segment
-        # length (static, one per distinct batch-boundary split) does.
-        # Keeping gather and place in one program matters on dispatch-
-        # expensive runtimes (an RPC relay pays a fixed ~30 ms round trip
-        # per call, and re-ships call operands — one call per 16-window
-        # chunk made the packer slower than the per-image path it exists
-        # to beat; see PACKED_EVAL_r05.json).
-        @functools.partial(jax.jit, static_argnames=("n_seg",))
-        def _gather_place(buf, image, starts, off, n_seg):
-            def one(yx):
-                return jax.lax.dynamic_slice(
-                    image, (yx[0], yx[1], 0), (wh, ww, image.shape[2])
-                )
-
-            seg = jax.vmap(one)(starts[:n_seg]).astype(buf.dtype)
-            return jax.lax.dynamic_update_slice(buf, seg, (off, 0, 0, 0))
-
-        self._gather_place = _gather_place
-
-        # slice an image's rows out of (up to a few) stacked forward
-        # batches + scatter-assemble, one jitted program per
-        # (n_batches, n, image_hw) combination — all cheap programs
-        @functools.partial(
-            jax.jit, static_argnames=("n", "image_hw")
+        # All jitted programs come from module-level caches keyed on the
+        # static config — new packer instances REUSE compiled programs
+        # (see the cache functions above for why this matters).
+        self._fwd = _fwd_program(forward, self.W)
+        self._shift = _shift_program(self.W)
+        self._gather_place = _gather_place_program(window)
+        self._collect_jit = _collect_program(
+            window, stride, reduction, strategy
         )
-        def _collect_jit(batches, start, n, image_hw):
-            stacked = (
-                batches[0] if len(batches) == 1 else jnp.concatenate(batches)
-            )
-            rows = jax.lax.dynamic_slice(
-                stacked, (start, 0, 0), (n, stacked.shape[1], stacked.shape[2])
-            )
-            return assemble_windows(
-                rows, image_hw, self.window, self.stride, self.reduction,
-                self.strategy,
-            )
-
-        self._collect_jit = _collect_jit
 
     def _run_batch(self) -> None:
         preds = self._fwd(self.ctx, self._buf)

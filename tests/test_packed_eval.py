@@ -146,3 +146,23 @@ def test_packed_single_huge_image_spans_batches():
         )
     )[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packer_instances_share_compiled_programs():
+    """jit caches are per function object: packer programs must come from
+    module-level caches so a fresh packer per stream/epoch does NOT
+    recompile its programs (through an RPC relay every compile is a
+    multi-second round trip; a per-stream packer measured ~47 s/stream of
+    pure recompilation, PACKED_EVAL_r05.json)."""
+    a = WindowPacker(_forward, None, WINDOW, STRIDE, RED,
+                     batch_windows=8, chunk=4, dtype=jnp.float32)
+    b = WindowPacker(_forward, None, WINDOW, STRIDE, RED,
+                     batch_windows=8, chunk=4, dtype=jnp.float32)
+    assert a._fwd is b._fwd
+    assert a._shift is b._shift
+    assert a._gather_place is b._gather_place
+    assert a._collect_jit is b._collect_jit
+    # list-typed window/stride hit the same cache entries as tuples
+    c = WindowPacker(_forward, None, list(WINDOW), list(STRIDE), RED,
+                     batch_windows=8, chunk=4, dtype=jnp.float32)
+    assert c._gather_place is a._gather_place
