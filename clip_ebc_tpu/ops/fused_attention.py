@@ -123,12 +123,6 @@ def _pair_attention_body(
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), 2)
     kv_mask = cols < kv_len  # padded rows only ever appear as masked keys
 
-    def pair_softmax(s):
-        s = jnp.where(kv_mask, s * sm_scale, NEG_INF)
-        m = jnp.max(s, axis=2, keepdims=True)
-        p = jnp.exp(s - m)
-        return p / jnp.sum(p, axis=2, keepdims=True)
-
     def pair_softmax_unnorm(s):
         """Softmax split for normalize-after-PV: returns the UNNORMALIZED
         probabilities (exp(s - max), in [0, 1]) plus the per-row sum. The

@@ -49,18 +49,10 @@ MODES = [
     ("train_vgg19_ae", {"BENCH_MODE": "train"}),
     ("train_flagship", {"BENCH_MODE": "train_flagship"}),
     ("inference_bf16_reforder", {"BENCH_QUANT": "none"}),
-    # A/B levers for the decoder-pre gap (VERDICT r3 item 2)
-    ("inference_int8_decpre_xla_attn",
-     {"BENCH_QUANT": "int8_static", "BENCH_DECODER": "pre",
-      "BENCH_QUANT_ATTN": "xla"}),
-    ("inference_int8_decpre_fuse_ln_off",
-     {"BENCH_QUANT": "int8_static", "BENCH_DECODER": "pre",
-      "BENCH_FUSE_LN": "off"}),
-    ("inference_int8_decpre_xla_attn_fuse_off",
-     {"BENCH_QUANT": "int8_static", "BENCH_DECODER": "pre",
-      "BENCH_QUANT_ATTN": "xla", "BENCH_FUSE_LN": "off"}),
-    ("inference_int8_reforder_xla_attn",
-     {"BENCH_QUANT": "int8_static", "BENCH_QUANT_ATTN": "xla"}),
+    # The r3/r4 A/B lever modes (quant_attn=xla/1, fuse_ln=off) are gone:
+    # the r5 latency-cancelled campaign measured all of them LOSING to the
+    # defaults at the flagship shape (AB_DECPRE_r05.json ab_table) — the
+    # knobs stay available through the BENCH_* env vars if ever needed.
 ]
 
 
