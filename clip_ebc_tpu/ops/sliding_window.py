@@ -73,6 +73,21 @@ def _dense_ok(window: Tuple[int, int], stride: Tuple[int, int]) -> bool:
     return window[0] % stride[0] == 0 and window[1] % stride[1] == 0
 
 
+def default_bucket() -> int:
+    """Window-count pad multiple (EBC_SW_BUCKET, default 16).
+
+    The window batch pads up to a multiple of ``bucket`` so mixed-size
+    datasets compile few distinct trunk programs (n_pad values). On a
+    FIXED eval shape the padding is pure waste — the flagship 2048x3072
+    image has 140 windows, padded to 144 = +2.9% trunk compute — so
+    fixed-shape deployments can drop the bucket (e.g. EBC_SW_BUCKET=4:
+    140 stays 140 and the kernel batch-block divides it) at the cost of
+    one program per distinct window count."""
+    import os
+
+    return int(os.environ.get("EBC_SW_BUCKET", "16"))
+
+
 def gather_windows_dense(
     image: jnp.ndarray, window: Tuple[int, int], stride: Tuple[int, int]
 ) -> jnp.ndarray:
@@ -129,7 +144,7 @@ def sliding_window_predict(
     stride: Tuple[int, int],
     reduction: int,
     strategy: str = "average",
-    bucket: int = 16,
+    bucket: int = None,  # None -> default_bucket() (EBC_SW_BUCKET, 16)
     mesh=None,
 ) -> jnp.ndarray:
     """Predict the full-image density map ((H/r, W/r)) by sliding windows.
@@ -143,6 +158,8 @@ def sliding_window_predict(
     wh, ww = window
     starts = jnp.asarray(window_grid((h, w), window, stride))
     n = starts.shape[0]
+    if bucket is None:
+        bucket = default_bucket()
     if mesh is not None:
         bucket = max(bucket, mesh.shape["data"])
         bucket = _round_up(bucket, mesh.shape["data"])
