@@ -91,16 +91,33 @@ class ClipViT(nn.Module):
         return VIT_CONFIGS[self.variant][4]
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mode: str = "full"
+    ) -> jnp.ndarray:
+        """``mode``: "full" = pixels -> features; "embed" = pixels ->
+        patch-token grid (B, H/p, W/p, width), patchify only;
+        "from_tokens" = consume an "embed"-shaped token grid, skipping
+        patchify. The split lets sliding-window eval patchify a large
+        image ONCE and unfold windows on the token grid (width-lane
+        tensors) instead of on channel-3 pixels — see
+        ops/sliding_window.py (token fast path)."""
         patch, width, layers, heads, _ = VIT_CONFIGS[self.variant]
-        b, h, w, _ = x.shape
-        if h % patch or w % patch:
-            raise ValueError(f"input {h}x{w} not divisible by patch {patch}")
-        gh, gw = h // patch, w // patch
+        if mode == "from_tokens":
+            b, gh, gw, _w = x.shape
+            if _w != width:
+                raise ValueError(f"token width {_w} != model width {width}")
+            x = x.astype(self.dtype).reshape(b, gh * gw, width)
+        else:
+            b, h, w, _ = x.shape
+            if h % patch or w % patch:
+                raise ValueError(f"input {h}x{w} not divisible by patch {patch}")
+            gh, gw = h // patch, w // patch
 
-        x = PatchifyMatmul(
-            width, patch, use_bias=False, dtype=self.dtype, name="conv1"
-        )(x)
+            x = PatchifyMatmul(
+                width, patch, use_bias=False, dtype=self.dtype, name="conv1"
+            )(x)
+            if mode == "embed":
+                return x.reshape(b, gh, gw, width)
 
         scale = width**-0.5
         cls_tok = self.param(

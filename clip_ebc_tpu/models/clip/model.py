@@ -214,13 +214,27 @@ class ClipEBC(nn.Module):
         runs inside the hot step."""
         return self.text_encoder(self.text_tokens)
 
+    def embed_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Patch-embed pixels into the ViT token grid (B, H/p, W/p, width)
+        — the "embed" half of the split trunk. Sliding-window eval calls
+        this ONCE on the full image and unfolds windows on the token grid
+        (ops/sliding_window.py token fast path), then feeds the windows
+        back through ``__call__(..., pre_embedded=True)``."""
+        if not self.is_vit:
+            raise ValueError("embed_patches is only defined for ViT backbones")
+        return self.image_encoder(x, mode="embed")
+
     def __call__(
         self,
         x: jnp.ndarray,
         train: bool = False,
         text_feats: Optional[jnp.ndarray] = None,
+        pre_embedded: bool = False,
     ):
-        feats = self.image_encoder(x, train)
+        if pre_embedded:
+            feats = self.image_encoder(x, train, mode="from_tokens")
+        else:
+            feats = self.image_encoder(x, train)
         if self.freeze_image_encoder:
             # VPT: only the prompt tokens train; gradients to the frozen ViT
             # weights are masked in the optimizer, and the features pass

@@ -128,10 +128,35 @@ def gather_windows_dense(
     return wins.reshape(rows * cols, wh, ww, c)
 
 
+def _token_gather_ok(
+    image_hw: Tuple[int, int],
+    window: Tuple[int, int],
+    stride: Tuple[int, int],
+    patch: int,
+) -> bool:
+    """The token fast path needs every window start to land on the global
+    ``patch`` grid: image dims, window, and stride all patch-multiples
+    (then the edge-clamped starts H-wh / W-ww are too), plus the dense
+    unfold's stride-divides-window condition on the token grid."""
+    import os
+
+    if os.environ.get("EBC_TOKEN_GATHER", "1") == "0":  # A/B safety valve
+        return False
+    (h, w), (wh, ww), (sh, sw) = image_hw, window, stride
+    return (
+        patch > 0
+        and h % patch == 0 and w % patch == 0
+        and wh % patch == 0 and ww % patch == 0
+        and sh % patch == 0 and sw % patch == 0
+        and _dense_ok(window, stride)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "apply_fn", "window", "stride", "reduction", "strategy", "bucket", "mesh",
+        "embed_fn", "token_apply_fn", "patch",
     ),
 )
 def sliding_window_predict(
@@ -146,6 +171,11 @@ def sliding_window_predict(
     strategy: str = "average",
     bucket: int = None,  # None -> default_bucket() (EBC_SW_BUCKET, 16)
     mesh=None,
+    embed_fn: Callable = None,  # (variables, image[1,H,W,3]) -> tokens
+    # (1, H/p, W/p, width): the trunk's patchify, run ONCE on the image
+    token_apply_fn: Callable = None,  # (variables, tokens[N,wh/p,ww/p,width])
+    # -> density[N,wh/r,ww/r]: the trunk minus patchify
+    patch: int = 0,  # ViT patch size; 0 disables the token path
 ) -> jnp.ndarray:
     """Predict the full-image density map ((H/r, W/r)) by sliding windows.
 
@@ -153,6 +183,17 @@ def sliding_window_predict(
     axis — one large image fans out over the whole pod (the TPU-native
     sequence-scaling equivalent of the reference's host-side window loop),
     and GSPMD gathers the per-window densities back for assembly.
+
+    Token fast path (ViT trunks): when ``embed_fn``/``token_apply_fn``/
+    ``patch`` are given and the whole window grid is patch-aligned
+    (flagship 224/224 eval on snap-32 NWPU sizes qualifies), the image is
+    patch-embedded ONCE and windows are unfolded on the token grid. This
+    (a) skips the ~12% patchify recompute on window overlap, and (b) moves
+    every unfold copy from channel-3 pixel tensors (3/128 lane utilization
+    on TPU) to width-lane token tensors — the pixel gather was the single
+    biggest above-floor stage in the r5 ledger (LEDGER_DECPRE_r05.json).
+    Per-window results are identical to per-window patchify because
+    patchify is a per-patch linear map on a non-overlapping grid.
     """
     h, w, _ = image.shape
     wh, ww = window
@@ -164,7 +205,20 @@ def sliding_window_predict(
         bucket = max(bucket, mesh.shape["data"])
         bucket = _round_up(bucket, mesh.shape["data"])
     n_pad = _round_up(n, bucket)
-    if _dense_ok(window, stride):
+    use_tokens = (
+        embed_fn is not None
+        and token_apply_fn is not None
+        and _token_gather_ok((h, w), window, stride, patch)
+    )
+    if use_tokens:
+        tokens = embed_fn(variables, image[None])[0]  # (h/p, w/p, width)
+        wins = gather_windows_dense(
+            tokens, (wh // patch, ww // patch), (stride[0] // patch, stride[1] // patch)
+        )  # (n, wh/p, ww/p, width)
+        windows = jnp.concatenate(
+            [wins, jnp.zeros((n_pad - n,) + wins.shape[1:], wins.dtype)], axis=0
+        ) if n_pad > n else wins
+    elif _dense_ok(window, stride):
         # reshape/concat unfold — no dynamic_slice (see gather_windows_dense)
         wins = gather_windows_dense(image, window, stride)
         windows = jnp.concatenate(
@@ -187,7 +241,10 @@ def sliding_window_predict(
         windows = jax.lax.with_sharding_constraint(
             windows, NamedSharding(mesh, P("data"))
         )
-    preds = apply_fn(variables, windows)  # (n_pad, wh/r, ww/r)
+    if use_tokens:
+        preds = token_apply_fn(variables, windows)  # (n_pad, wh/r, ww/r)
+    else:
+        preds = apply_fn(variables, windows)  # (n_pad, wh/r, ww/r)
     bh, bw = wh // reduction, ww // reduction
     if preds.shape[-2:] != (bh, bw):
         raise ValueError(

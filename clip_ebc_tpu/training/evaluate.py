@@ -84,6 +84,42 @@ class Evaluator:
             self._text_for = None  # identity of the variables the cache is for
             self._text_feats = None
 
+        # Token fast path (ViT trunks, ops/sliding_window.py): patchify
+        # the image once + unfold windows on the token grid. Functions are
+        # defined once here — they ride into the jitted window pipeline as
+        # static args, so identity must be stable across images/epochs.
+        self._token_fns = None
+        if getattr(model, "is_vit", False) and hasattr(type(model), "embed_patches"):
+            patch = model.encoder_reduction
+
+            if self._hoist_text:
+
+                @jax.jit
+                def embed_fn(ctx, img):
+                    return model.apply(ctx[0], img, method="embed_patches")
+
+                @jax.jit
+                def token_forward(ctx, tokens):
+                    variables, text_feats = ctx
+                    out = model.apply(
+                        variables, tokens, train=False, text_feats=text_feats,
+                        pre_embedded=True,
+                    )
+                    return out.astype(jnp.float32)
+
+            else:
+
+                @jax.jit
+                def embed_fn(v, img):
+                    return model.apply(v, img, method="embed_patches")
+
+                @jax.jit
+                def token_forward(v, tokens):
+                    out = model.apply(v, tokens, train=False, pre_embedded=True)
+                    return out.astype(jnp.float32)
+
+            self._token_fns = (embed_fn, token_forward, patch)
+
     def decode_pool(self, dataset, decode_procs: int):
         """Persistent decode ProcessPoolExecutor, reused across
         ``evaluate()`` calls with the same (dataset, procs) — mirrors
@@ -138,6 +174,7 @@ class Evaluator:
             image = replicate_array(self.mesh, np.asarray(image))
         forward, ctx = self._forward_fn(variables)
         if self.sliding_window:
+            tk = self._token_fns
             density = sliding_window_predict(
                 forward,
                 ctx,
@@ -147,6 +184,9 @@ class Evaluator:
                 reduction=self.reduction,
                 strategy=self.strategy,
                 mesh=self.mesh,
+                embed_fn=tk[0] if tk else None,
+                token_apply_fn=tk[1] if tk else None,
+                patch=tk[2] if tk else 0,
             )
         else:
             density = forward(ctx, image[None])[0]

@@ -88,6 +88,17 @@ def main():
         return model.apply(v, images, train=False, text_feats=text_feats
                            ).astype(jnp.float32)
 
+    # Token fast path (patchify once + token-grid unfold); EBC_TOKEN_GATHER=0
+    # falls back to the pixel unfold inside sliding_window_predict.
+    def embed_fn(v, img):
+        return model.apply(v, img, method="embed_patches")
+
+    def token_forward(v, tokens):
+        return model.apply(v, tokens, train=False, text_feats=text_feats,
+                           pre_embedded=True).astype(jnp.float32)
+
+    patch = model.encoder_reduction
+
     image = jnp.asarray(jax.random.normal(jax.random.PRNGKey(0), (H, W, 3)),
                         jnp.bfloat16)
 
@@ -99,7 +110,9 @@ def main():
                 d = sliding_window_predict(
                     forward, v, img + s.astype(img.dtype) * 1e-4,
                     window=(WIN, WIN), stride=(STRIDE, STRIDE),
-                    reduction=RED, strategy="average")
+                    reduction=RED, strategy="average",
+                    embed_fn=embed_fn, token_apply_fn=token_forward,
+                    patch=patch)
                 s = d.sum() * 1e-12 + s  # chain: rep j+1 depends on rep j
             return s
 

@@ -225,3 +225,101 @@ def test_dense_assembly_matches_scatter(hw, window, stride):
     ref = np.asarray((acc / jnp.asarray(np.maximum(cnt, 1.0))).reshape(hr, wr))
     dense = np.asarray(_assemble_windows_dense(preds, hw, window, stride, RED))
     np.testing.assert_allclose(dense, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "hw,window,stride",
+    [
+        ((64, 96), (32, 32), (32, 32)),   # flagship-shaped: stride == window
+        ((64, 96), (32, 32), (16, 16)),   # test_nwpu-shaped: stride = window/2
+        ((80, 112), (32, 32), (16, 16)),  # edge-clamped last row/col
+    ],
+)
+def test_token_gather_matches_pixel_path(hw, window, stride):
+    """The ViT token fast path (patchify once + token-grid unfold) must
+    produce the same density map as the pixel-window path — patchify is a
+    per-patch linear map on a non-overlapping grid, so embedding the image
+    globally and unfolding tokens is algebraically identical to unfolding
+    pixels and embedding per window."""
+    from clip_ebc_tpu.models import get_model
+
+    BINS = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, float("inf"))]
+    ANCHORS = [0.0, 1.0, 2.0, 3.0, 4.3]
+    model = get_model(
+        "clip_vit_b_16", input_size=window[0], reduction=16, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=4,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1,) + window + (3,)), train=False
+    )
+    text_feats = model.apply(variables, method="encode_text")
+
+    def forward(v, images):
+        return model.apply(
+            v, images, train=False, text_feats=text_feats
+        ).astype(jnp.float32)
+
+    def embed_fn(v, img):
+        return model.apply(v, img, method="embed_patches")
+
+    def token_forward(v, tokens):
+        return model.apply(
+            v, tokens, train=False, text_feats=text_feats, pre_embedded=True
+        ).astype(jnp.float32)
+
+    image = jax.random.normal(jax.random.PRNGKey(1), hw + (3,), jnp.float32)
+    kw = dict(window=window, stride=stride, reduction=16, strategy="average")
+    pixel = np.asarray(
+        sliding_window_predict(forward, variables, image, **kw)
+    )
+    token = np.asarray(
+        sliding_window_predict(
+            forward, variables, image, **kw,
+            embed_fn=embed_fn, token_apply_fn=token_forward,
+            patch=model.encoder_reduction,
+        )
+    )
+    assert pixel.shape == token.shape == (hw[0] // 16, hw[1] // 16)
+    np.testing.assert_allclose(token, pixel, rtol=1e-5, atol=1e-5)
+
+
+def test_token_gather_falls_back_when_unaligned():
+    """A stride that is not a patch multiple must silently use the pixel
+    path (the token fns are ignored), still matching the plain call."""
+    from clip_ebc_tpu.models import get_model
+
+    BINS = [(0.0, 0.0), (1.0, float("inf"))]
+    ANCHORS = [0.0, 1.5]
+    model = get_model(
+        "clip_vit_b_16", input_size=32, reduction=16, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=2,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    text_feats = model.apply(variables, method="encode_text")
+
+    def forward(v, images):
+        return model.apply(
+            v, images, train=False, text_feats=text_feats
+        ).astype(jnp.float32)
+
+    def embed_fn(v, img):
+        return model.apply(v, img, method="embed_patches")
+
+    def token_forward(v, tokens):
+        return model.apply(
+            v, tokens, train=False, text_feats=text_feats, pre_embedded=True
+        ).astype(jnp.float32)
+
+    image = jax.random.normal(jax.random.PRNGKey(1), (56, 80, 3), jnp.float32)
+    kw = dict(window=(32, 32), stride=(24, 24), reduction=16, strategy="average")
+    plain = np.asarray(sliding_window_predict(forward, variables, image, **kw))
+    with_fns = np.asarray(
+        sliding_window_predict(
+            forward, variables, image, **kw,
+            embed_fn=embed_fn, token_apply_fn=token_forward,
+            patch=model.encoder_reduction,
+        )
+    )
+    np.testing.assert_allclose(with_fns, plain, rtol=1e-6, atol=1e-6)
