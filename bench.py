@@ -388,6 +388,20 @@ def inner_main() -> None:
             jnp.float32
         )
 
+    # Token fast path: patchify the image once, unfold windows on the token
+    # grid (ops/sliding_window.py). OPT-IN via EBC_TOKEN_GATHER=1 — the r5
+    # chip A/B measured it 0.8 ms/image slower than the pixel unfold at the
+    # flagship stride-224 shape (no overlap recompute to save there).
+    def embed_fn(v, img):
+        return model.apply(v, img, method="embed_patches")
+
+    def token_forward(v, tokens):
+        return model.apply(
+            v, tokens, train=False, text_feats=text_feats, pre_embedded=True
+        ).astype(jnp.float32)
+
+    patch = model.encoder_reduction
+
     # The relay fronting the chip adds a fixed ~28-30 ms round-trip per
     # call that does NOT overlap across async dispatches (r5 measured a
     # 0.2 ms gather at 30 ms/call), so any pipeline faster than ~4700 w/s
@@ -408,6 +422,8 @@ def inner_main() -> None:
                 density = sliding_window_predict(
                     forward, variables, img, window=window, stride=stride,
                     reduction=reduction, strategy="average",
+                    embed_fn=embed_fn, token_apply_fn=token_forward,
+                    patch=patch,
                 )
                 s = density.sum() * 1e-12 + s  # rep j+1 depends on rep j
             return s

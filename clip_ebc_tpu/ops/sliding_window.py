@@ -137,10 +137,19 @@ def _token_gather_ok(
     """The token fast path needs every window start to land on the global
     ``patch`` grid: image dims, window, and stride all patch-multiples
     (then the edge-clamped starts H-wh / W-ww are too), plus the dense
-    unfold's stride-divides-window condition on the token grid."""
+    unfold's stride-divides-window condition on the token grid.
+
+    OPT-IN (EBC_TOKEN_GATHER=1): the r5 chip A/B measured the token path
+    0.8 ms/image SLOWER than the pixel unfold at the flagship shape
+    (30.17 vs 29.35 ms latency-cancelled, AB_DECPRE_r05.json) — XLA
+    already fuses the pixel unfold into the patchify reshape chain, so
+    skipping the ~12% overlap recompute doesn't pay for the separate
+    global-embed pass. Kept for grids with real overlap (stride < window
+    multiplies the patchify recompute 4x at stride=window/2, where the
+    balance can differ)."""
     import os
 
-    if os.environ.get("EBC_TOKEN_GATHER", "1") == "0":  # A/B safety valve
+    if os.environ.get("EBC_TOKEN_GATHER", "0") != "1":
         return False
     (h, w), (wh, ww), (sh, sw) = image_hw, window, stride
     return (

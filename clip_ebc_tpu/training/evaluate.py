@@ -85,9 +85,11 @@ class Evaluator:
             self._text_feats = None
 
         # Token fast path (ViT trunks, ops/sliding_window.py): patchify
-        # the image once + unfold windows on the token grid. Functions are
-        # defined once here — they ride into the jitted window pipeline as
-        # static args, so identity must be stable across images/epochs.
+        # the image once + unfold windows on the token grid. OPT-IN via
+        # EBC_TOKEN_GATHER=1 (lost the flagship-shape chip A/B — see
+        # _token_gather_ok). Functions are defined once here — they ride
+        # into the jitted window pipeline as static args, so identity must
+        # be stable across images/epochs.
         self._token_fns = None
         if getattr(model, "is_vit", False) and hasattr(type(model), "embed_patches"):
             patch = model.encoder_reduction

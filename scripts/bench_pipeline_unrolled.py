@@ -49,7 +49,8 @@ def main():
     W = int(os.environ.get("UNROLL_W", "3072"))
     iters = int(os.environ.get("UNROLL_ITERS", "6"))
     repeats = int(os.environ.get("UNROLL_REPEATS", "3"))
-    WIN, STRIDE, RED = 224, 224, 8
+    WIN, RED = 224, 8
+    STRIDE = int(os.environ.get("UNROLL_STRIDE", "224"))  # 112 = test_nwpu cfg
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform}), quant={quant_env}, "
           f"dense={os.environ['EBC_DENSE_WINDOWS']}, K={K}, image {H}x{W}")

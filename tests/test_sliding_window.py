@@ -235,12 +235,14 @@ def test_dense_assembly_matches_scatter(hw, window, stride):
         ((80, 112), (32, 32), (16, 16)),  # edge-clamped last row/col
     ],
 )
-def test_token_gather_matches_pixel_path(hw, window, stride):
+def test_token_gather_matches_pixel_path(hw, window, stride, monkeypatch):
     """The ViT token fast path (patchify once + token-grid unfold) must
     produce the same density map as the pixel-window path — patchify is a
     per-patch linear map on a non-overlapping grid, so embedding the image
     globally and unfolding tokens is algebraically identical to unfolding
-    pixels and embedding per window."""
+    pixels and embedding per window. (Opt-in: the flagship-shape chip A/B
+    measured it slower than the pixel unfold — see _token_gather_ok.)"""
+    monkeypatch.setenv("EBC_TOKEN_GATHER", "1")
     from clip_ebc_tpu.models import get_model
 
     BINS = [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, float("inf"))]
@@ -283,9 +285,10 @@ def test_token_gather_matches_pixel_path(hw, window, stride):
     np.testing.assert_allclose(token, pixel, rtol=1e-5, atol=1e-5)
 
 
-def test_token_gather_falls_back_when_unaligned():
+def test_token_gather_falls_back_when_unaligned(monkeypatch):
     """A stride that is not a patch multiple must silently use the pixel
     path (the token fns are ignored), still matching the plain call."""
+    monkeypatch.setenv("EBC_TOKEN_GATHER", "1")
     from clip_ebc_tpu.models import get_model
 
     BINS = [(0.0, 0.0), (1.0, float("inf"))]
