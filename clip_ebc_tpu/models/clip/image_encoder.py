@@ -100,7 +100,12 @@ class ClipViT(nn.Module):
         patchify. The split lets sliding-window eval patchify a large
         image ONCE and unfold windows on the token grid (width-lane
         tensors) instead of on channel-3 pixels — see
-        ops/sliding_window.py (token fast path)."""
+        ops/sliding_window.py (token fast path).
+
+        A 3-D "full"/"embed" input (B, H, W*3) is consumed as channel-
+        flattened RGB pixels (the sliding-window flat-gather path;
+        PatchifyMatmul handles the split) — bitwise identical to the 4-D
+        path."""
         patch, width, layers, heads, _ = VIT_CONFIGS[self.variant]
         if mode == "from_tokens":
             b, gh, gw, _w = x.shape
@@ -108,7 +113,11 @@ class ClipViT(nn.Module):
                 raise ValueError(f"token width {_w} != model width {width}")
             x = x.astype(self.dtype).reshape(b, gh * gw, width)
         else:
-            b, h, w, _ = x.shape
+            if x.ndim == 3:  # flat pixels (B, H, W*3)
+                b, h, wc = x.shape
+                w = wc // 3
+            else:
+                b, h, w, _ = x.shape
             if h % patch or w % patch:
                 raise ValueError(f"input {h}x{w} not divisible by patch {patch}")
             gh, gw = h // patch, w // patch

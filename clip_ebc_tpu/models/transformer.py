@@ -432,17 +432,32 @@ class PatchifyMatmul(nn.Module):
     near peak (scripts/bisect_vit_module.py). Param name/shape match
     nn.Conv ("kernel" (p, p, c, features) HWIO + optional "bias") so
     converted checkpoints load unchanged. Returns (B, gh*gw, features).
+
+    A 3-D input ``(B, H, W*in_channels)`` is consumed as channel-flattened
+    pixels (the sliding-window flat-gather path, ops/sliding_window.py):
+    the reshape chain then moves ``p*in_channels``-element contiguous
+    chunks instead of ``in_channels``-element ones — on TPU the minor
+    (lane) dimension of every relayout copy grows from 3 to 48 for RGB
+    ViT-B/16, the difference between ~2% and ~37% lane packing. Bitwise
+    identical to the 4-D path (the (p, c) dims are adjacent and merged in
+    the same order).
     """
 
     features: int
     patch: int
     use_bias: bool = True
     dtype: Any = jnp.float32
+    in_channels: int = 3  # only used to split a 3-D (flat-pixel) input
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.patch
-        b, h, w, c = x.shape
+        if x.ndim == 3:
+            b, h, wc = x.shape
+            c = self.in_channels
+            w = wc // c
+        else:
+            b, h, w, c = x.shape
         gh, gw = h // p, w // p
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (p, p, c, self.features),
@@ -451,12 +466,20 @@ class PatchifyMatmul(nn.Module):
         # promote like nn.Conv: BOTH operands to the compute dtype — without
         # this an fp32 input silently keeps the whole downstream trunk fp32
         # (and the fused LN+qkv kernel's fp32 operands overflow VMEM)
-        x = (
-            x.astype(self.dtype)
-            .reshape(b, gh, p, gw, p, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, gh * gw, p * p * c)
-        )
+        if x.ndim == 3:
+            x = (
+                x.astype(self.dtype)
+                .reshape(b, gh, p, gw, p * c)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(b, gh * gw, p * p * c)
+            )
+        else:
+            x = (
+                x.astype(self.dtype)
+                .reshape(b, gh, p, gw, p, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, gh * gw, p * p * c)
+            )
         out = x @ kernel.astype(self.dtype).reshape(p * p * c, self.features)
         if self.use_bias:
             bias = self.param(

@@ -128,6 +128,62 @@ def gather_windows_dense(
     return wins.reshape(rows * cols, wh, ww, c)
 
 
+def gather_windows_flat(
+    image2d: jnp.ndarray, window: Tuple[int, int], stride: Tuple[int, int]
+) -> jnp.ndarray:
+    """:func:`gather_windows_dense` on a channel-flattened image.
+
+    ``image2d`` is ``(H, W*C)`` and ``window``/``stride`` carry the
+    x-extent already multiplied by C; returns ``(n, wh, ww*C)`` flat
+    windows in :func:`window_grid` order. Same reshape/concat/transpose
+    unfold, but every copy's minor (lane) dimension is ``ww*C`` (672 for
+    flagship RGB 224px windows) instead of C=3, and consumers take the
+    flat windows directly (ClipViT/PatchifyMatmul 3-D input) so the
+    channel split never rematerializes a c-minor tensor. Measured neutral
+    -0.39 ms at the flagship shape when the source image is device-
+    resident as (H, W, 3) (the flatten just relocates the c-minor
+    relayout — see ``_flat_gather_ok``); the intended use is hosts that
+    upload pixels pre-flattened."""
+    h, wc = image2d.shape
+    (wh, wwc), (sh, swc) = window, stride
+    ky, kx = wh // sh, wwc // swc
+    rows, rows_reg, y_last = _axis_plan(h, wh, sh)
+    cols, cols_reg, x_last = _axis_plan(wc, wwc, swc)
+    a = image2d[: (rows_reg - 1 + ky) * sh].reshape(rows_reg - 1 + ky, sh, wc)
+    bands = jnp.concatenate([a[i : i + rows_reg] for i in range(ky)], axis=1)
+    if y_last is not None:
+        bands = jnp.concatenate([bands, image2d[None, y_last : y_last + wh]], axis=0)
+    b = bands[:, :, : (cols_reg - 1 + kx) * swc].reshape(
+        rows, wh, cols_reg - 1 + kx, swc
+    )
+    wins = jnp.concatenate([b[:, :, j : j + cols_reg] for j in range(kx)], axis=3)
+    wins = wins.transpose(0, 2, 1, 3)  # (rows, cols_reg, wh, wwc)
+    if x_last is not None:
+        last_col = bands[:, :, x_last : x_last + wwc]  # (rows, wh, wwc)
+        wins = jnp.concatenate([wins, last_col[:, None]], axis=1)
+    return wins.reshape(rows * cols, wh, wwc)
+
+
+def _flat_gather_ok(window, stride, patch: int) -> bool:
+    """Flat-pixel gather gate: dense-unfold geometry + a ViT trunk
+    (``patch > 0`` — callers pass it only for trunks whose forward accepts
+    3-D flat-pixel windows).
+
+    OPT-IN (EBC_FLAT_GATHER=1): the r5 chip A/B at the flagship shape
+    measured it 0.39 ms/image SLOWER than the 4-D pixel unfold (29.86 vs
+    29.47 ms latency-cancelled, AB_DECPRE_r05.json) — the device-resident
+    image is (H, W, 3), so flattening it inside the program just moves the
+    c-minor relayout instead of deleting it, while XLA already fuses the
+    4-D unfold into the patchify chain. Kept for hosts that upload the
+    image pre-flattened (same row-major bytes as (H, W*3)), where the
+    in-program reshape disappears."""
+    import os
+
+    if os.environ.get("EBC_FLAT_GATHER", "0") != "1":
+        return False
+    return patch > 0 and _dense_ok(window, stride)
+
+
 def _token_gather_ok(
     image_hw: Tuple[int, int],
     window: Tuple[int, int],
@@ -224,6 +280,16 @@ def sliding_window_predict(
         wins = gather_windows_dense(
             tokens, (wh // patch, ww // patch), (stride[0] // patch, stride[1] // patch)
         )  # (n, wh/p, ww/p, width)
+        windows = jnp.concatenate(
+            [wins, jnp.zeros((n_pad - n,) + wins.shape[1:], wins.dtype)], axis=0
+        ) if n_pad > n else wins
+    elif _flat_gather_ok(window, stride, patch):
+        # channel-flattened unfold: every relayout copy gets a wide lane
+        # dim (ww*3) instead of 3; ClipViT consumes (n, wh, ww*3) directly
+        c = image.shape[2]
+        wins = gather_windows_flat(
+            image.reshape(h, w * c), (wh, ww * c), (stride[0], stride[1] * c)
+        )  # (n, wh, ww*c)
         windows = jnp.concatenate(
             [wins, jnp.zeros((n_pad - n,) + wins.shape[1:], wins.dtype)], axis=0
         ) if n_pad > n else wins

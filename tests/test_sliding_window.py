@@ -326,3 +326,85 @@ def test_token_gather_falls_back_when_unaligned(monkeypatch):
         )
     )
     np.testing.assert_allclose(with_fns, plain, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "hw,window,stride",
+    [
+        ((96, 128), (64, 64), (64, 64)),   # stride == window, clamped both axes
+        ((128, 192), (64, 64), (64, 64)),  # stride == window, fully regular
+        ((96, 128), (64, 64), (32, 32)),   # k=2 phases, clamped
+        ((160, 160), (64, 64), (32, 32)),  # k=2 phases, regular
+    ],
+)
+def test_flat_gather_matches_dense(hw, window, stride):
+    """Channel-flattened unfold (lane-packed copies) is bitwise equal to
+    the 4-D dense unfold on every grid geometry."""
+    from clip_ebc_tpu.ops.sliding_window import (
+        gather_windows_dense, gather_windows_flat)
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 1, hw + (3,)).astype(np.float32))
+    dense = gather_windows_dense(img, window, stride)
+    flat = gather_windows_flat(
+        img.reshape(hw[0], hw[1] * 3),
+        (window[0], window[1] * 3), (stride[0], stride[1] * 3),
+    ).reshape(dense.shape)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(dense))
+
+
+@pytest.mark.parametrize("flat_on", ["1", "0"])
+def test_flat_gather_pipeline_matches_4d(flat_on, monkeypatch):
+    """Full sliding-window pipeline through the real ViT model: the
+    flat-pixel path (EBC_FLAT_GATHER=1, 3-D windows into PatchifyMatmul)
+    is bitwise equal to the 4-D pixel path — the (p, c) dims are adjacent
+    and merge in the same order, so the patchify matmul operand is the
+    same array either way."""
+    monkeypatch.setenv("EBC_FLAT_GATHER", flat_on)
+    from clip_ebc_tpu.models import get_model
+
+    BINS = [(0.0, 0.0), (1.0, 1.0), (2.0, float("inf"))]
+    ANCHORS = [0.0, 1.0, 2.5]
+    model = get_model(
+        "clip_vit_b_16", input_size=32, reduction=16, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=2,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    text_feats = model.apply(variables, method="encode_text")
+
+    def forward(v, images):
+        return model.apply(
+            v, images, train=False, text_feats=text_feats
+        ).astype(jnp.float32)
+
+    image = jax.random.normal(jax.random.PRNGKey(1), (64, 96, 3), jnp.float32)
+    kw = dict(window=(32, 32), stride=(32, 32), reduction=16,
+              strategy="average")
+    # patch=0: flat path gated off regardless of env (non-ViT callers)
+    ref = np.asarray(sliding_window_predict(forward, variables, image, **kw))
+    got = np.asarray(
+        sliding_window_predict(
+            forward, variables, image, **kw, patch=model.encoder_reduction
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_flat_pixel_forward_matches_4d_forward():
+    """ClipEBC forward on (B, H, W*3) flat windows == forward on the same
+    (B, H, W, 3) windows (ClipViT/PatchifyMatmul 3-D input path)."""
+    from clip_ebc_tpu.models import get_model
+
+    BINS = [(0.0, 0.0), (1.0, float("inf"))]
+    ANCHORS = [0.0, 1.5]
+    model = get_model(
+        "clip_vit_b_16", input_size=32, reduction=16, bins=BINS,
+        anchor_points=ANCHORS, num_vpt=2,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    flat = model.apply(variables, x.reshape(2, 32, 32 * 3), train=False)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(ref))
